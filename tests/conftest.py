@@ -9,7 +9,9 @@ long/ulong/double element types like the reference's CloType table
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment points JAX at a tunneled TPU
+# (JAX_PLATFORMS=axon): tests must not contend for the bench chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The tunneled-TPU plugin rewrites jax_platforms to "axon,cpu" at import time,
+# overriding the env var — force CPU again post-import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
