@@ -1,0 +1,77 @@
+"""Flagship end-to-end query pipelines.
+
+The "model" of this framework is an operator pipeline (SURVEY.md §7: "one
+model running end-to-end ≈ one operator pipeline: RNG-generate -> sort ->
+verify"). Two flagships:
+
+  sort_pipeline    — Threefry-generate keys -> sort -> sortedness stats.
+                     The minimum end-to-end slice from SURVEY.md §7 stage 4.
+  analytics_query  — generate a (key, value) fact table -> filter rows ->
+                     GROUP BY aggregate; the north-star query shape
+                     (filter + hash aggregate over RNG data,
+                     BASELINE.json configs 3-4).
+
+Both are pure jittable functions so the driver can compile-check them and
+shard them over a mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cl_ops_tpu.ops.rng import threefry
+from cl_ops_tpu.ops.exec import aggregate as agg
+from cl_ops_tpu.ops.exec import filter as flt
+
+
+def generate_table(n: int, seed: int = 0, key_space: int = 1 << 20,
+                   value_space: int = 1 << 10):
+    """Threefry-generated (keys, values) fact table (clo_rng replacement)."""
+    ids = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    keys = threefry.random_bits(seed, ids, jnp.uint32(0)) % jnp.uint32(
+        key_space)
+    values = threefry.random_bits(seed, ids, jnp.uint32(1)) % jnp.uint32(
+        value_space)
+    return keys, values
+
+
+@functools.partial(jax.jit, static_argnames=("n", "seed", "use_pallas"))
+def sort_pipeline(n: int, seed: int = 0, use_pallas: bool = False):
+    """Generate n random keys, sort them, return (sorted, is_sorted)."""
+    keys, _ = generate_table(n, seed)
+    if use_pallas:
+        from cl_ops_tpu.ops.sort import sort_new
+        # jit-compatible: the sorter's limb path is itself jitted
+        sorted_keys = sort_new("abitonic").sort_with_device_data(keys)
+    else:
+        sorted_keys = jnp.sort(keys)
+    ok = jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
+    return sorted_keys, ok
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "num_groups", "seed", "threshold",
+                                    "use_pallas"))
+def analytics_query(n: int, num_groups: int = 1024, seed: int = 0,
+                    threshold: int = 512, use_pallas: bool = False):
+    """SELECT key % G, SUM(value) FROM t WHERE value < threshold GROUP BY 1.
+
+    The north-star query shape: RNG scan -> predicate filter (prefix-sum
+    compaction) -> group-by aggregate.
+    """
+    keys, values = generate_table(n, seed)
+    count, fvals, fkeys = flt.filter_compact(
+        values, lambda v: v < jnp.uint32(threshold), keys,
+        use_pallas=use_pallas)
+    # Compacted prefix is valid; mask the dropped tail out of the
+    # aggregation by sending its group ids out of range (mode="drop").
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    gids = jnp.where(idx < count,
+                     (fkeys % jnp.uint32(num_groups)).astype(jnp.int32),
+                     jnp.int32(num_groups))
+    table = agg.group_aggregate_direct(
+        gids, fvals.astype(jnp.uint32), num_groups=num_groups, agg="sum")
+    return count, table

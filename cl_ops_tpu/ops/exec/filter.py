@@ -1,0 +1,65 @@
+"""Filter + stream compaction: predicate -> scan -> scatter.
+
+North-star operator (BASELINE.json: "Prefix-sum filter: Blelloch scan +
+compaction over 64M rows w/ 10% selectivity"). No direct referent in the
+reference library; it is the canonical *consumer* of the reference's scan
+primitive — compaction destinations are exactly an exclusive prefix sum of
+the predicate mask, the same composition pattern satradix uses
+(`src/cl_ops/sort/clo_sort_satradix.c:296-300` composes a CloScan).
+
+XLA has no data-dependent shapes, so compaction returns (packed, count):
+`packed` has the input length with kept rows contiguous at the front and
+unspecified tail; `count` is the number kept.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cl_ops_tpu.utils.platform import pallas_interpret
+
+
+def _mask_scan(mask_i32, use_pallas: bool, interpret: bool):
+    if use_pallas:
+        from cl_ops_tpu.ops.scan.kernels import scan_1d
+        return scan_1d(mask_i32, sum_dtype=jnp.int32, exclusive=True,
+                       interpret=interpret)
+    return jnp.cumsum(mask_i32) - mask_i32
+
+
+@functools.partial(jax.jit, static_argnames=("predicate", "use_pallas"))
+def filter_compact(data, predicate: Callable, *extra_cols,
+                   use_pallas: bool = True):
+    """Keep rows where predicate(data) holds, compacted to the front.
+
+    Args:
+      data: 1-D array the predicate reads.
+      predicate: traced elementwise fn data -> bool mask.
+      *extra_cols: additional same-length columns carried through.
+
+    Returns:
+      (count, packed_data, *packed_cols) — elements past `count` are
+      unspecified (the dropped rows' slots).
+    """
+    mask = predicate(data)
+    mask_i32 = mask.astype(jnp.int32)
+    dest = _mask_scan(mask_i32, use_pallas, pallas_interpret())
+    count = (dest[-1] + mask_i32[-1]).astype(jnp.int32)
+    n = data.shape[0]
+    # Dropped rows all target slot n (mode="drop" discards them).
+    dest = jnp.where(mask, dest, n)
+    outs = []
+    for col in (data, *extra_cols):
+        outs.append(jnp.zeros_like(col).at[dest].set(
+            col, mode="drop", unique_indices=True))
+    return (count, *outs)
+
+
+@functools.partial(jax.jit, static_argnames=("predicate",))
+def count_where(data, predicate: Callable):
+    """Count rows satisfying the predicate (no compaction)."""
+    return jnp.sum(predicate(data).astype(jnp.int32))

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,7 +166,9 @@ def _pm_seed(seeds):
 
 def _pm_step(states):
     s64 = states.astype(jnp.int64) * jnp.int64(16807)
-    s = (s64 % jnp.int64(2147483647)).astype(jnp.int32)
+    # lax.rem = C truncated modulo, matching OpenCL's % on negative states
+    # (jnp's % is floored and diverges there).
+    s = jax.lax.rem(s64, jnp.int64(2147483647)).astype(jnp.int32)
     # Return shifts a bit into the sign position (clo_rng_parkmiller.cl:57).
     return s, (s.astype(jnp.uint32) << jnp.uint32(1))
 

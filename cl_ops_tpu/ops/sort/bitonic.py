@@ -1,0 +1,100 @@
+"""Bitonic sorter implementations: "sbitonic" and "abitonic".
+
+sbitonic — parity with the reference's simple bitonic sorter
+(`src/cl_ops/sort/clo_sort_sbitonic.c:224-233`): one global kernel launch per
+bitonic (stage, step), every launch streaming the whole array through VMEM.
+Correct for any pow-2-padded size; pedagogically faithful, bandwidth-bound.
+
+abitonic — parity with the reference's advanced bitonic sorter
+(`clo_sort_abitonic.c:58-313`): multi-step fused kernels. The reference picks
+per-step kernels from a lookup table constrained by local-memory limits and
+the minps/maxps options; here the analogous *strategy* is choosing the VMEM
+block size B: all stages K <= B run in ONE full block-sort kernel, and each
+merge stage K > B runs log2(K/B) cross-block passes plus ONE fused local
+kernel covering every step J < B. The `vmem` option (bytes) bounds B the way
+`maxsfs`/local-memory probing bounds the reference's kernel choice
+(`clo_sort_abitonic.c:667-688`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+from cl_ops_tpu.ops.sort import keys as keymod
+from cl_ops_tpu.ops.sort.abstract import SortImplDef, sort_impls
+from cl_ops_tpu.utils.bits import is_po2, nlpo2
+from cl_ops_tpu.utils.platform import pallas_interpret
+
+# i32 max: pads sort after every real key; pad payloads also get this value
+# so key-equal ties against padding resolve real-before-pad.
+_PAD = 0x7FFFFFFF
+
+
+def _pick_block_rows(n_arrays: int, vmem_bytes: int) -> int:
+    """Strategy selector: biggest po2 block fitting the VMEM budget.
+
+    Mosaic's scoped allocation for the fully unrolled in-block sort keeps
+    roughly 16 block-sized i32 temporaries live at peak (measured on v5e),
+    so the model is n_arrays * block_bytes * 16 <= budget — the analog of
+    abitonic's localmem model (`clo_sort_abitonic.c:667-688`).
+    """
+    rows = 8
+    while (n_arrays * (rows * 2) * bk.LANES * 4 * 16) <= vmem_bytes:
+        rows *= 2
+    return rows
+
+
+def _make_bitonic_sorter(fused: bool):
+    def make(spec, options):
+        interpret = pallas_interpret() or options.get("interpret") == "1"
+        vmem = int(options.get("vmem", 8 * 1024 * 1024))
+        n_limbs = keymod.num_limbs(spec.key_dtype)
+
+        def fn(limbs, payload):
+            arrs = list(limbs) + ([payload] if payload is not None else [])
+            n = arrs[0].shape[0]
+            pads = [_PAD] * len(arrs)
+            arrs2d, padded = bk.pad_and_reshape(arrs, pads)
+            rows = padded // bk.LANES
+            if "block_rows" in options:
+                br = int(options["block_rows"])
+                if not is_po2(br):
+                    raise ValueError("block_rows must be a power of 2")
+            else:
+                br = _pick_block_rows(len(arrs), vmem)
+            br = min(br, rows)
+            out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
+                                     interpret=interpret)
+            flat = [a.reshape(-1)[:n] for a in out]
+            out_limbs = tuple(flat[:len(limbs)])
+            out_payload = flat[len(limbs)] if payload is not None else None
+            return out_limbs, out_payload
+
+        jitted = jax.jit(fn)
+
+        def dispatch(limbs, payload):
+            return jitted(limbs, payload)
+
+        return dispatch
+    return make
+
+
+sort_impls.register("sbitonic")(lambda: SortImplDef(
+    name="sbitonic",
+    in_place=True,  # parity flag: ref sbitonic sorts in place
+    make_limb_sorter=_make_bitonic_sorter(fused=False),
+    kernel_names=("cx_step", "cx_cross"),
+    vmem_usage=lambda k, n, o: 2 * int(o.get("block_rows", 1024)) * 128 * 4,
+))
+
+sort_impls.register("abitonic")(lambda: SortImplDef(
+    name="abitonic",
+    in_place=True,
+    make_limb_sorter=_make_bitonic_sorter(fused=True),
+    kernel_names=("block_sort", "cx_cross", "block_merge"),
+    vmem_usage=lambda k, n, o: 3 * _pick_block_rows(
+        2, int(o.get("vmem", 8 * 1024 * 1024))) * 128 * 4,
+))

@@ -1,0 +1,391 @@
+"""Pallas TPU bitonic compare-exchange kernel library.
+
+TPU-native redesign of the reference's bitonic sorters
+(`src/cl_ops/sort/clo_sort_sbitonic.cl:38-69`, `clo_sort_abitonic.cl`).
+The reference's work-item compare-swap becomes whole-tile vector ops: data
+lives as (rows, 128) i32 tiles in VMEM, and the XOR-partner exchange of a
+bitonic step with distance J is one `tpu.dynamic_gather`
+(jnp.take_along_axis with indices iota^J) along lanes (J < 128) or sublanes
+(J >= 128), followed by a lexicographic compare and a masked select. Keys
+are pre-normalized to signed-i32-ordered limbs (keys.py), so one kernel
+serves all 11 key dtypes.
+
+Two execution modes mirror the reference's two bitonic sorters:
+  * single-step: one pallas_call per (stage K, step J) global pass — the
+    structure of sbitonic's host loop (`clo_sort_sbitonic.c:102-118`).
+  * fused: per-block multi-step kernels — a full in-VMEM block sort (all
+    stages K <= B), then per merge stage one cross-block pass per J >= B
+    plus ONE fused local kernel for all J < B — the strategy behind
+    abitonic's local/private multi-step kernels
+    (`clo_sort_abitonic.in.h:33-106`), with VMEM playing local memory.
+
+All kernels operate on a tuple of i32 arrays: key limbs first (1-2), then an
+optional i32 payload (row indices for KV sorts). The payload participates as
+a final comparison tiebreak, making the comparator total so XOR-pair
+exchanges never duplicate elements.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cl_ops_tpu.utils.bits import is_po2, log2_floor, nlpo2
+
+LANES = 128
+MIN_ROWS = 8  # minimum sublane tile for i32
+# v5e has 128 MiB of physical VMEM; Mosaic's default 16 MiB scoped limit is
+# far below what big fused sort blocks want.
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _lex_lt(a: tuple, b: tuple):
+    """Strict lexicographic a < b over i32 limb tuples (signed order)."""
+    lt = a[0] < b[0]
+    eq = a[0] == b[0]
+    for aa, bb in zip(a[1:], b[1:]):
+        lt = lt | (eq & (aa < bb))
+        eq = eq & (aa == bb)
+    return lt
+
+
+def _partner(arrs: tuple, j):
+    """Fetch each element's XOR-partner at distance j.
+
+    j < LANES pairs lanes: one tpu.dynamic_gather along the lane dim.
+    j >= LANES pairs rows: Mosaic's sublane gather can't cross vregs
+    ("Multiple source vregs along gather dimension"), so the XOR pairing is
+    two rotates + select — rows with the j-bit unset take the +j roll,
+    rows with it set take the -j roll (r ^ j == r + j or r - j by that bit).
+    """
+    j_val, is_row = j
+    shape = arrs[0].shape
+    if is_row:
+        bit = _flat_bit(shape, j_val, True)
+        out = []
+        for a in arrs:
+            down = pltpu.roll(a, jnp.int32(-j_val % shape[0]), 0)  # x[r+j]
+            up = pltpu.roll(a, jnp.int32(j_val), 0)                # x[r-j]
+            out.append(jnp.where(bit, up, down))
+        return tuple(out)
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) ^ j_val
+    return tuple(jnp.take_along_axis(a, idx, axis=1) for a in arrs)
+
+
+def _flat_bit(shape, k_val, is_row_bit):
+    """Boolean mask of bit (i & K) != 0 over flattened index i = r*128 + c."""
+    if is_row_bit:
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return (rows & k_val) != 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (cols & k_val) != 0
+
+
+def _cx(arrs: tuple, asc_mask, j):
+    """One compare-exchange step at distance j under direction mask.
+
+    asc_mask: True where the enclosing bitonic block sorts ascending.
+    Element keeps the min iff it is the lower partner in an ascending block
+    (or the higher partner in a descending one).
+    """
+    j_val, is_row = j
+    p = _partner(arrs, j)
+    i_low = jnp.logical_not(
+        _flat_bit(arrs[0].shape, j_val, is_row))
+    keep_min = i_low == asc_mask
+    lt = _lex_lt(arrs, p)
+    take_self = keep_min == lt
+    return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
+
+
+def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows):
+    """Compare-exchange at row distance j_rows (traced i32 power of 2)."""
+    shape = arrs[0].shape
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    bit = (rows_iota & j_rows) != 0
+    p = []
+    for a in arrs:
+        down = pltpu.roll(a, jnp.int32(shape[0]) - j_rows, 0)  # x[r + j]
+        up = pltpu.roll(a, j_rows, 0)                          # x[r - j]
+        p.append(jnp.where(bit, up, down))
+    p = tuple(p)
+    keep_min = jnp.logical_not(bit) == asc_mask
+    take_self = keep_min == _lex_lt(arrs, p)
+    return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
+
+
+def _cx_lanes_dyn(arrs: tuple, asc_mask, j):
+    """Compare-exchange at lane distance j (traced i32 power of 2 < 128)."""
+    shape = arrs[0].shape
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = lane_iota ^ j
+    p = tuple(jnp.take_along_axis(a, idx, axis=1) for a in arrs)
+    keep_min = ((lane_iota & j) == 0) == asc_mask
+    take_self = keep_min == _lex_lt(arrs, p)
+    return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
+
+
+def _local_steps(arrs: tuple, asc_mask, start_j: int):
+    """All steps J = start_j .. 1 under one direction mask.
+
+    Rolled into two fori_loops (row steps then lane steps) with traced
+    distances — a fully static unroll made Mosaic compiles of big blocks
+    take tens of minutes; dynamic rotates/gathers keep the MLIR small.
+    """
+    if start_j >= LANES:
+        row_hi = log2_floor(start_j // LANES)
+
+        def row_body(m, a):
+            j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m)
+            return _cx_rows_dyn(a, asc_mask, j_rows)
+
+        arrs = jax.lax.fori_loop(0, row_hi + 1, row_body, arrs)
+        lane_start = LANES // 2
+    else:
+        lane_start = start_j
+    lane_hi = log2_floor(max(lane_start, 1))
+
+    def lane_body(m, a):
+        j = jnp.int32(1) << (jnp.int32(lane_hi) - m)
+        return _cx_lanes_dyn(a, asc_mask, j)
+
+    return jax.lax.fori_loop(0, lane_hi + 1, lane_body, arrs)
+
+
+def _local_sort_block(arrs: tuple, final_asc=None):
+    """Full bitonic sort of one (R,128) block (stages K=2..R*128).
+
+    The direction of the final stage (K = block size) is the GLOBAL index
+    bit (i & K), which is the block-parity bit when multiple blocks exist —
+    callers pass it as `final_asc` (broadcastable mask); None means this
+    block is the whole array (ascending).
+    """
+    n = arrs[0].shape[0] * LANES
+    for sk in range(1, log2_floor(n) + 1):
+        k = 1 << sk
+        if k == n:
+            asc = (jnp.full(arrs[0].shape, True) if final_asc is None
+                   else final_asc)
+        else:
+            asc = jnp.logical_not(
+                _flat_bit(arrs[0].shape, k // LANES if k >= LANES else k,
+                          k >= LANES))
+        arrs = _local_steps(arrs, asc, k // 2)
+    return arrs
+
+
+# --- kernels -----------------------------------------------------------------
+
+def _block_sort_kernel(*refs, n_arrays: int, multi_block: bool):
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    arrs = tuple(r[...] for r in ins)
+    if multi_block:
+        # Alternate block directions: stage K = B's direction bit is the
+        # block-index LSB (the bitonic precondition for the K = 2B merge).
+        asc = jnp.full(arrs[0].shape, True) & ((pl.program_id(0) & 1) == 0)
+        arrs = _local_sort_block(arrs, final_asc=asc)
+    else:
+        arrs = _local_sort_block(arrs)
+    for o, a in zip(outs, arrs):
+        o[...] = a
+
+
+def _block_merge_kernel(*refs, n_arrays: int, k_blocks: int):
+    """Fused local merge: all steps J = B/2..1 of one stage K > B.
+
+    Direction is uniform per block: asc = (block_index & k_blocks) == 0
+    (K's bit lies above the block offset).
+    """
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    b = pl.program_id(0)
+    asc_scalar = (b & k_blocks) == 0
+    shape = ins[0].shape
+    asc = jnp.full(shape, True) & asc_scalar
+    arrs = tuple(r[...] for r in ins)
+    arrs = _local_steps(arrs, asc, shape[0] * LANES // 2)
+    for o, a in zip(outs, arrs):
+        o[...] = a
+
+
+def _cross_kernel(*refs, n_arrays: int, j_blocks: int, k_blocks: int):
+    """One cross-block step with J >= B: block b exchanges with b ^ j_blocks.
+
+    Each grid step reads its own block plus its XOR partner (J >= B flips
+    only block-index bits, in-block offsets align) and writes only its own
+    block: the min side if it is the lower partner of an ascending pair.
+    """
+    self_ins = refs[:n_arrays]
+    part_ins = refs[n_arrays:2 * n_arrays]
+    outs = refs[2 * n_arrays:]
+    b = pl.program_id(0)
+    is_lo = (b & j_blocks) == 0
+    asc = (b & k_blocks) == 0
+    keep_min = is_lo == asc
+    s = tuple(r[...] for r in self_ins)
+    p = tuple(r[...] for r in part_ins)
+    lt = _lex_lt(s, p)
+    take_self = keep_min == lt
+    for o, a, pp in zip(outs, s, p):
+        o[...] = jnp.where(take_self, a, pp)
+
+
+def _single_step_kernel(*refs, n_arrays: int, k_val: int, j_val: int):
+    """One global (K, J) pass with J < B, one block per grid step.
+
+    Direction may depend on block index (K > B) or be intra-block (K <= B).
+    """
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    shape = ins[0].shape
+    block_elems = shape[0] * LANES
+    arrs = tuple(r[...] for r in ins)
+    if k_val >= block_elems:
+        b = pl.program_id(0)
+        asc = jnp.full(shape, True) & ((b & (k_val // block_elems)) == 0)
+    else:
+        asc = jnp.logical_not(
+            _flat_bit(shape, k_val // LANES if k_val >= LANES else k_val,
+                      k_val >= LANES))
+    arrs = _cx(arrs, asc,
+               (j_val // LANES, True) if j_val >= LANES else (j_val, False))
+    for o, a in zip(outs, arrs):
+        o[...] = a
+
+
+# --- host orchestration ------------------------------------------------------
+
+def _row_map(i):
+    return (i, i * 0)  # i*0 avoids an i64 literal under x64
+
+
+def _specs(n_arrays, block_rows):
+    return [pl.BlockSpec((block_rows, LANES), _row_map,
+                         memory_space=pltpu.VMEM) for _ in range(n_arrays)]
+
+
+def _call_per_block(kernel, arrs2d, n_blocks, block_rows, interpret,
+                    **kw):
+    n_arrays = len(arrs2d)
+    shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
+    out = pl.pallas_call(
+        functools.partial(kernel, n_arrays=n_arrays, **kw),
+        grid=(n_blocks,),
+        in_specs=_specs(n_arrays, block_rows),
+        out_specs=tuple(_specs(n_arrays, block_rows)),
+        out_shape=shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*arrs2d)
+    return tuple(out)  # out_shape is a tuple, so pallas returns a sequence
+
+
+def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
+    n_arrays = len(arrs2d)
+    shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
+
+    def self_map(g):
+        return (g, g * 0)
+
+    def part_map(g):
+        return (g ^ j_blocks, g * 0)
+
+    def spec(m):
+        return pl.BlockSpec((block_rows, LANES), m, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, n_arrays=n_arrays,
+                          j_blocks=j_blocks, k_blocks=k_blocks),
+        grid=(n_blocks,),
+        in_specs=[spec(self_map) for _ in range(n_arrays)]
+        + [spec(part_map) for _ in range(n_arrays)],
+        out_specs=tuple(spec(self_map) for _ in range(n_arrays)),
+        out_shape=shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*arrs2d, *arrs2d)
+    return tuple(out)
+
+
+def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
+                    interpret: bool):
+    """Sort po2-length flattened (rows,128) limb arrays ascending.
+
+    Returns reordered arrays (same shapes). arrs2d rows must be a multiple
+    of block_rows and total length po2.
+    """
+    total_rows = arrs2d[0].shape[0]
+    n = total_rows * LANES
+    n_blocks = total_rows // block_rows
+    block_elems = block_rows * LANES
+    assert is_po2(n) and is_po2(block_elems) and n % block_elems == 0
+
+    if fused:
+        arrs2d = _call_per_block(_block_sort_kernel, arrs2d, n_blocks,
+                                 block_rows, interpret,
+                                 multi_block=n_blocks > 1)
+        for sk in range(log2_floor(block_elems) + 1, log2_floor(n) + 1):
+            k = 1 << sk
+            j = k // 2
+            while j >= block_elems:
+                arrs2d = _call_cross(arrs2d, n_blocks, block_rows,
+                                     j // block_elems, k // block_elems,
+                                     interpret)
+                j //= 2
+            arrs2d = _call_per_block(_block_merge_kernel, arrs2d, n_blocks,
+                                     block_rows, interpret,
+                                     k_blocks=k // block_elems)
+        return arrs2d
+
+    # single-step mode: one launch per (K, J) — sbitonic parity.
+    for sk in range(1, log2_floor(n) + 1):
+        k = 1 << sk
+        j = k // 2
+        while j >= 1:
+            if j >= block_elems:
+                arrs2d = _call_cross(arrs2d, n_blocks, block_rows,
+                                     j // block_elems, k // block_elems,
+                                     interpret)
+            else:
+                arrs2d = _call_per_block(
+                    _single_step_kernel, arrs2d, n_blocks, block_rows,
+                    interpret, k_val=k, j_val=j)
+            j //= 2
+    return arrs2d
+
+
+def pad_and_reshape(arrs, pad_values, min_rows=MIN_ROWS):
+    """Pad 1-D arrays to a shared po2 length >= min_rows*128, reshape 2D."""
+    n = arrs[0].shape[0]
+    padded = max(nlpo2(n), min_rows * LANES)
+    out = []
+    for a, pv in zip(arrs, pad_values):
+        if padded != n:
+            a = jnp.pad(a, (0, padded - n), constant_values=pv)
+        out.append(a.reshape(padded // LANES, LANES))
+    return tuple(out), padded
+
+
+def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool):
+    """Ascending bitonic merge of one whole bitonic sequence.
+
+    Used by the distributed sort (parallel/sort.py) to restore local order
+    after a chip-level compare-split; k_blocks=0 makes every direction test
+    (b & 0) == 0 come out ascending.
+    """
+    total_rows = arrs2d[0].shape[0]
+    n = total_rows * LANES
+    n_blocks = total_rows // block_rows
+    block_elems = block_rows * LANES
+    assert is_po2(n) and n % block_elems == 0
+    j = n // 2
+    while j >= block_elems:
+        arrs2d = _call_cross(arrs2d, n_blocks, block_rows, j // block_elems,
+                             0, interpret)
+        j //= 2
+    return _call_per_block(_block_merge_kernel, arrs2d, n_blocks, block_rows,
+                           interpret, k_blocks=0)

@@ -9,6 +9,7 @@ a device mesh, per-chip Pallas kernels wrapped in shard_map, XLA collectives
 from cl_ops_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated,
                                       row_sharding)
 from cl_ops_tpu.parallel.scan import dist_scan
+from cl_ops_tpu.parallel.sort import dist_sort
 
-__all__ = ["DATA_AXIS", "dist_scan", "make_mesh", "replicated",
+__all__ = ["DATA_AXIS", "dist_scan", "dist_sort", "make_mesh", "replicated",
            "row_sharding"]

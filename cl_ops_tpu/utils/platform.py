@@ -31,3 +31,18 @@ def on_tpu() -> bool:
 def pallas_interpret() -> bool:
     """Whether pallas_call must run in interpret mode (non-TPU backends)."""
     return not on_tpu()
+
+
+def honor_env_platform() -> None:
+    """Re-apply JAX_PLATFORMS after plugin overrides.
+
+    The tunneled-TPU plugin rewrites jax_platforms to "axon,cpu" at import
+    time; a user who explicitly set JAX_PLATFORMS=cpu (e.g. CLI smoke tests)
+    still means it. Call before the first computation.
+    """
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+        backend.cache_clear()
+        on_tpu.cache_clear()

@@ -1,0 +1,33 @@
+"""Flagship pipeline tests vs numpy oracles."""
+
+import numpy as np
+
+from cl_ops_tpu import models
+from cl_ops_tpu.ops.rng import threefry
+
+
+def _oracle_table(n, seed=0, key_space=1 << 20, value_space=1 << 10):
+    ids = np.arange(n, dtype=np.uint32)
+    keys = np.asarray(threefry.random_bits(seed, ids, np.uint32(0))) % key_space
+    vals = np.asarray(threefry.random_bits(seed, ids, np.uint32(1))) % value_space
+    return keys, vals
+
+
+def test_sort_pipeline():
+    sorted_keys, ok = models.sort_pipeline(4096, seed=1)
+    assert bool(ok)
+    keys, _ = _oracle_table(4096, 1)
+    np.testing.assert_array_equal(np.asarray(sorted_keys), np.sort(keys))
+
+
+def test_analytics_query():
+    n, g, t = 8192, 64, 512
+    count, table = models.analytics_query(n, num_groups=g, seed=2,
+                                          threshold=t)
+    keys, vals = _oracle_table(n, 2)
+    m = vals < t
+    assert int(count) == m.sum()
+    expect = np.zeros(g, np.uint64)
+    for k, v in zip(keys[m] % g, vals[m]):
+        expect[k] += v
+    np.testing.assert_array_equal(np.asarray(table), expect.astype(np.uint32))

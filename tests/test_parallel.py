@@ -64,3 +64,35 @@ def test_dist_scan_pallas_interpret(mesh8):
         ps._local_inclusive = orig
     expect = np.cumsum(x.astype(np.uint64)) - x
     np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_dist_sort(mesh8):
+    rng = np.random.RandomState(10)
+    x = rng.randint(0, 1 << 31, size=8 * 4096, dtype=np.int64).astype(np.uint32)
+    out = parallel.dist_sort(x, mesh8, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+    assert len(out.sharding.device_set) == 8
+
+
+def test_dist_sort_descending(mesh8):
+    rng = np.random.RandomState(11)
+    x = rng.randint(-1000, 1000, size=8 * 512).astype(np.int32)
+    out = parallel.dist_sort(x, mesh8, ascending=False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x)[::-1])
+
+
+def test_dist_sort_key_value(mesh8):
+    rng = np.random.RandomState(12)
+    x = rng.randint(0, 100, size=8 * 256).astype(np.uint32)
+    v = np.arange(8 * 256, dtype=np.int32)
+    out, vout = parallel.dist_sort(x, mesh8, values=v, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+    np.testing.assert_array_equal(x[np.asarray(vout)], np.asarray(out))
+
+
+def test_dist_sort_pallas_interpret(mesh8):
+    """Pallas local sort/merge path under shard_map interpret mode."""
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, 1 << 31, size=8 * 1024, dtype=np.int64).astype(np.uint32)
+    out = parallel.dist_sort(x, mesh8, use_pallas=True, block_rows=8)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))

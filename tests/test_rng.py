@@ -57,9 +57,14 @@ def oracle_mwc(st):
 
 
 def oracle_pm(s):
-    # signed i32 state; python ints emulate two's complement
+    # signed i32 state; python ints emulate two's complement.
+    # OpenCL's % is TRUNCATED modulo (sign of the dividend), unlike
+    # python's floored % — reproduce it explicitly
+    # (clo_rng_parkmiller.cl:43-59).
     sv = s - (1 << 32) if s >= (1 << 31) else s
-    sv = (sv * 16807) % 2147483647
+    sv = sv * 16807
+    r = abs(sv) % 2147483647
+    sv = r if sv >= 0 else -r
     s_new = sv & M32
     return s_new, (s_new << 1) & M32
 
