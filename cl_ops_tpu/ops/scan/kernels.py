@@ -68,10 +68,25 @@ def _cumsum_axis(x, axis):
 
 
 def _block_inclusive_scan(block_2d):
-    """Inclusive prefix sum of a (rows, LANES) block in row-major order."""
+    """Inclusive prefix sum of a (rows, LANES) block in row-major order.
+
+    The row-totals scan runs on totals reshaped into full 128-lane rows:
+    scanning an (R,1) column directly wastes 127/128 of every vreg (TPU
+    vregs are 8x128), which made the totals pass as expensive as the main
+    lane pass.
+    """
     lane_scan = _cumsum_axis(block_2d, 1)
-    row_totals = lane_scan[:, -1:]
-    row_prefix = _cumsum_axis(row_totals, 0) - row_totals  # exclusive
+    r = block_2d.shape[0]
+    row_totals = lane_scan[:, LANES - 1:]
+    if r >= LANES and r % LANES == 0:
+        t2 = row_totals.reshape(r // LANES, LANES)
+        t2s = _cumsum_axis(t2, 1)
+        chunk_tot = t2s[:, LANES - 1:]
+        chunk_prefix = _cumsum_axis(chunk_tot, 0) - chunk_tot
+        incl_tot = t2s + chunk_prefix
+        row_prefix = incl_tot.reshape(r, 1) - row_totals
+    else:
+        row_prefix = _cumsum_axis(row_totals, 0) - row_totals  # exclusive
     return lane_scan + row_prefix
 
 

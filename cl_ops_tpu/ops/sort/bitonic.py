@@ -47,6 +47,16 @@ def _pick_block_rows(n_arrays: int, vmem_bytes: int) -> int:
     return rows
 
 
+def _pick_merge_rows(block_rows: int) -> int:
+    """Second-tier (merge) block: 4x the sort block.
+
+    Measured sweet spot on v5e (16M u32): merge at 4x block cuts HBM
+    sweeps and launch count without pushing Mosaic compile times or VPU
+    inefficiency of very fat blocks (8x+ was slower and compiled slowly).
+    """
+    return block_rows * 4
+
+
 def _make_bitonic_sorter(fused: bool):
     def make(spec, options):
         interpret = pallas_interpret() or options.get("interpret") == "1"
@@ -66,8 +76,16 @@ def _make_bitonic_sorter(fused: bool):
             else:
                 br = _pick_block_rows(len(arrs), vmem)
             br = min(br, rows)
+            if fused:
+                if "merge_rows" in options:
+                    mr = int(options["merge_rows"])
+                else:
+                    mr = _pick_merge_rows(br)
+                mr = max(min(mr, rows), br)
+            else:
+                mr = br
             out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
-                                     interpret=interpret)
+                                     merge_rows=mr, interpret=interpret)
             flat = [a.reshape(-1)[:n] for a in out]
             out_limbs = tuple(flat[:len(limbs)])
             out_payload = flat[len(limbs)] if payload is not None else None

@@ -129,31 +129,69 @@ def _cx_lanes_dyn(arrs: tuple, asc_mask, j):
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
-def _local_steps(arrs: tuple, asc_mask, start_j: int):
+def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc):
+    """Static row-step: contiguous half-vs-half compare within 2j groups.
+
+    A bitonic row step at distance j pairs the first j rows of every
+    2j-row group with its last j rows — contiguous slices, so the exchange
+    is two range-slices + min/max selects with NO rotates. Valid because
+    the direction bit (i & K) is constant within a 2j group (j <= K/2
+    always). group_asc(g) returns the (g, 1, 1) ascending mask per group.
+    """
+    r, lanes = arrs[0].shape
+    g = r // (2 * j_rows)
+    a3 = [a.reshape(g, 2 * j_rows, lanes) for a in arrs]
+    lo = tuple(a[:, :j_rows] for a in a3)
+    hi = tuple(a[:, j_rows:] for a in a3)
+    lt = _lex_lt(lo, hi)
+    lo_takes_self = lt == group_asc(g)  # lo keeps the min in asc groups
+    out = []
+    for l, h in zip(lo, hi):
+        nl = jnp.where(lo_takes_self, l, h)
+        nh = jnp.where(lo_takes_self, h, l)
+        out.append(jnp.concatenate([nl, nh], axis=1).reshape(r, lanes))
+    return tuple(out)
+
+
+def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None):
     """All steps J = start_j .. 1 under one direction mask.
 
-    Rolled into two fori_loops (row steps then lane steps) with traced
-    distances — a fully static unroll made Mosaic compiles of big blocks
-    take tens of minutes; dynamic rotates/gathers keep the MLIR small.
+    Row steps (J >= 128) unroll statically with the grouped half-block
+    exchange; lane steps run in a fori_loop with traced gather distances
+    (keeps the MLIR small — full unrolls made Mosaic compiles take tens of
+    minutes). group_asc(j_rows, g) -> (g,1,1) ascending mask; defaults to
+    deriving it from asc_mask's group-leading rows.
     """
-    if start_j >= LANES:
-        row_hi = log2_floor(start_j // LANES)
-
-        def row_body(m, a):
-            j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m)
-            return _cx_rows_dyn(a, asc_mask, j_rows)
-
-        arrs = jax.lax.fori_loop(0, row_hi + 1, row_body, arrs)
-        lane_start = LANES // 2
-    else:
-        lane_start = start_j
-    lane_hi = log2_floor(max(lane_start, 1))
+    if group_asc is None:
+        raise ValueError("row steps need an explicit group_asc")
+    j = start_j
+    while j >= LANES:
+        jr = j // LANES
+        arrs = _cx_rows_grouped(
+            arrs, jr, lambda g, _jr=jr: group_asc(_jr, g))
+        j //= 2
+    lane_hi = log2_floor(max(j, 1))
 
     def lane_body(m, a):
-        j = jnp.int32(1) << (jnp.int32(lane_hi) - m)
-        return _cx_lanes_dyn(a, asc_mask, j)
+        jj = jnp.int32(1) << (jnp.int32(lane_hi) - m)
+        return _cx_lanes_dyn(a, asc_mask, jj)
 
     return jax.lax.fori_loop(0, lane_hi + 1, lane_body, arrs)
+
+
+def _stage_group_asc(k: int):
+    """group_asc for a stage K < block: (group_index & K/groupsize) == 0."""
+    def fn(j_rows, g):
+        kg = k // (2 * j_rows * LANES)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0)
+        return (gi & kg) == 0
+    return fn
+
+
+def _scalar_group_asc(asc_scalar):
+    def fn(j_rows, g):
+        return jnp.full((g, 1, 1), True) & asc_scalar
+    return fn
 
 
 def _local_sort_block(arrs: tuple, final_asc=None):
@@ -168,13 +206,15 @@ def _local_sort_block(arrs: tuple, final_asc=None):
     for sk in range(1, log2_floor(n) + 1):
         k = 1 << sk
         if k == n:
-            asc = (jnp.full(arrs[0].shape, True) if final_asc is None
-                   else final_asc)
+            scalar = True if final_asc is None else final_asc
+            asc = jnp.full(arrs[0].shape, True) & scalar
+            ga = _scalar_group_asc(scalar)
         else:
             asc = jnp.logical_not(
                 _flat_bit(arrs[0].shape, k // LANES if k >= LANES else k,
                           k >= LANES))
-        arrs = _local_steps(arrs, asc, k // 2)
+            ga = _stage_group_asc(k)
+        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga)
     return arrs
 
 
@@ -186,8 +226,7 @@ def _block_sort_kernel(*refs, n_arrays: int, multi_block: bool):
     if multi_block:
         # Alternate block directions: stage K = B's direction bit is the
         # block-index LSB (the bitonic precondition for the K = 2B merge).
-        asc = jnp.full(arrs[0].shape, True) & ((pl.program_id(0) & 1) == 0)
-        arrs = _local_sort_block(arrs, final_asc=asc)
+        arrs = _local_sort_block(arrs, final_asc=(pl.program_id(0) & 1) == 0)
     else:
         arrs = _local_sort_block(arrs)
     for o, a in zip(outs, arrs):
@@ -206,7 +245,8 @@ def _block_merge_kernel(*refs, n_arrays: int, k_blocks: int):
     shape = ins[0].shape
     asc = jnp.full(shape, True) & asc_scalar
     arrs = tuple(r[...] for r in ins)
-    arrs = _local_steps(arrs, asc, shape[0] * LANES // 2)
+    arrs = _local_steps(arrs, asc, shape[0] * LANES // 2,
+                        group_asc=_scalar_group_asc(asc_scalar))
     for o, a in zip(outs, arrs):
         o[...] = a
 
@@ -311,12 +351,48 @@ def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
     return tuple(out)
 
 
+def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
+                        multi_block: bool):
+    """Fused run of ALL bitonic stages K = start_k .. block size.
+
+    Used as a second tier above _block_sort_kernel: a bigger VMEM block
+    absorbs several merge stages per launch, cutting the number of HBM
+    sweeps (the same economics as the reference's hybrid multi-step kernels
+    vs per-step launches, `clo_sort_abitonic.in.h:33-106`). The top stage's
+    direction is this block's parity bit when more blocks follow.
+    """
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    arrs = tuple(r[...] for r in ins)
+    shape = arrs[0].shape
+    n_blk = shape[0] * LANES
+    k = start_k
+    while k <= n_blk:
+        if k == n_blk and multi_block:
+            scalar = (pl.program_id(0) & 1) == 0
+            asc = jnp.full(shape, True) & scalar
+            ga = _scalar_group_asc(scalar)
+        elif k == n_blk:
+            asc = jnp.full(shape, True)
+            ga = _scalar_group_asc(True)
+        else:
+            asc = jnp.logical_not(
+                _flat_bit(shape, k // LANES if k >= LANES else k,
+                          k >= LANES))
+            ga = _stage_group_asc(k)
+        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga)
+        k *= 2
+    for o, a in zip(outs, arrs):
+        o[...] = a
+
+
 def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
-                    interpret: bool):
+                    interpret: bool, merge_rows: int | None = None):
     """Sort po2-length flattened (rows,128) limb arrays ascending.
 
     Returns reordered arrays (same shapes). arrs2d rows must be a multiple
-    of block_rows and total length po2.
+    of block_rows and total length po2. In fused mode, merge_rows (>=
+    block_rows) sets a second, larger block tier used for merge stages —
+    fewer, fatter launches.
     """
     total_rows = arrs2d[0].shape[0]
     n = total_rows * LANES
@@ -328,17 +404,26 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
         arrs2d = _call_per_block(_block_sort_kernel, arrs2d, n_blocks,
                                  block_rows, interpret,
                                  multi_block=n_blocks > 1)
-        for sk in range(log2_floor(block_elems) + 1, log2_floor(n) + 1):
+        mr = min(merge_rows or block_rows, total_rows)
+        assert is_po2(mr) and mr >= block_rows
+        if mr > block_rows:
+            n2 = total_rows // mr
+            arrs2d = _call_per_block(
+                _multi_stage_kernel, arrs2d, n2, mr, interpret,
+                start_k=2 * block_elems, multi_block=n2 > 1)
+        else:
+            n2 = n_blocks
+        merge_elems = mr * LANES
+        for sk in range(log2_floor(merge_elems) + 1, log2_floor(n) + 1):
             k = 1 << sk
             j = k // 2
-            while j >= block_elems:
-                arrs2d = _call_cross(arrs2d, n_blocks, block_rows,
-                                     j // block_elems, k // block_elems,
-                                     interpret)
+            while j >= merge_elems:
+                arrs2d = _call_cross(arrs2d, n2, mr, j // merge_elems,
+                                     k // merge_elems, interpret)
                 j //= 2
-            arrs2d = _call_per_block(_block_merge_kernel, arrs2d, n_blocks,
-                                     block_rows, interpret,
-                                     k_blocks=k // block_elems)
+            arrs2d = _call_per_block(_block_merge_kernel, arrs2d, n2,
+                                     mr, interpret,
+                                     k_blocks=k // merge_elems)
         return arrs2d
 
     # single-step mode: one launch per (K, J) — sbitonic parity.

@@ -1,0 +1,66 @@
+"""Bench CLI smoke tests (tiny sizes, CPU) — the reference's L4 surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_sort_bench_cli(tmp_path):
+    from cl_ops_tpu.bench import sort_bench
+    out = tmp_path / "sort.tsv"
+    rc = sort_bench.main(["-a", "xla", "-r", "1", "--minpo2", "4",
+                          "--maxpo2", "6", "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("n\t")
+    assert len(lines) == 4  # header + 3 sizes
+
+
+def test_scan_bench_cli(tmp_path):
+    from cl_ops_tpu.bench import scan_bench
+    out = tmp_path / "scan.tsv"
+    rc = scan_bench.main(["-a", "xla", "-r", "1", "--min-doub", "2",
+                          "-n", "4", "--out", str(out)])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_rng_bench_cli_dieharder(tmp_path):
+    from cl_ops_tpu.bench import rng_bench
+    out = tmp_path / "rng.dh"
+    rc = rng_bench.main(["-g", "threefry", "--gws", "64", "-r", "4",
+                         "--output", "file-dh", "--out-file", str(out)])
+    assert rc == 0
+    head = out.read_text().split("\n")[:3]
+    assert head[0] == "type: d"
+    assert head[1] == "count: 256"
+    assert head[2] == "numbit: 32"
+
+
+def test_rng_bench_cli_tsv_and_plot(tmp_path):
+    from cl_ops_tpu.bench import rng_bench, plot_rng
+    tsv = tmp_path / "rng.tsv"
+    rc = rng_bench.main(["-g", "mwc64x", "--gws", "32", "-r", "32",
+                        "--output", "file-tsv", "--out-file", str(tsv)])
+    assert rc == 0
+    m = np.loadtxt(tsv, delimiter="\t")
+    assert m.shape == (32, 32)
+    png = tmp_path / "rng.png"
+    rc = plot_rng.main([str(tsv), "--out", str(png)])
+    if rc == 0:  # matplotlib present
+        assert png.exists()
+
+
+def test_rng_bench_bits_and_maxint(capsys):
+    from cl_ops_tpu.bench import rng_bench
+    rc = rng_bench.main(["-g", "lcg", "--gws", "16", "-r", "2",
+                         "--bits", "8", "--output", "stdout-uint"])
+    assert rc == 0
+    vals = [int(v) for v in capsys.readouterr().out.split()]
+    assert all(0 <= v < 256 for v in vals)
+    rc = rng_bench.main(["-g", "lcg", "--gws", "16", "-r", "2",
+                         "--max-int", "9", "--output", "stdout-uint"])
+    assert rc == 0
+    vals = [int(v) for v in capsys.readouterr().out.split()]
+    assert all(0 <= v <= 9 for v in vals)
