@@ -1,29 +1,24 @@
 """Pallas TPU prefix-sum (scan) kernels.
 
 TPU-native redesign of the reference's Blelloch scan
-(`src/cl_ops/scan/clo_scan_blelloch.cl:49-211`). The reference needs three
-kernel launches (per-workgroup scan -> scan of workgroup totals -> uniform
-add) because OpenCL workgroups run concurrently with no cross-group order.
-On TPU, Pallas grid steps execute *sequentially* on a core, so the whole
-hierarchy collapses into ONE single-pass kernel: a grid loop over HBM blocks
-carrying the running total in SMEM scratch — each element is read once and
-written once, which is the HBM-bandwidth speed of light for scan. This is the
-structural analog of the reference's per-workgroup serial block loop
-(`clo_scan_blelloch.cl:70-120` carries `in_sum` across blocks) promoted to the
-whole array.
+(`src/cl_ops/scan/clo_scan_blelloch.cl:49-211`). The shape of the solution
+ends up mirroring the reference's three phases — per-block scan, scan of
+block totals, base add — because a single-pass grid-carry kernel (tried
+first) serializes Mosaic's grid pipeline on the carry dependency and runs
+~8x slower. Here phases 1-2 are XLA (block sums + a tiny cumsum) and phase 3
+is one fully-pipelined Pallas kernel: block scan + precomputed base, fused
+where the reference needed a separate addWorkgroupSums launch.
 
-In-block scan runs on the VPU as a rows-by-lanes 2D decomposition: cumsum
-along lanes, then cumsum of row totals, then broadcast add — the same
-up-sweep/down-sweep work the reference does in local memory
-(`clo_scan_blelloch.cl:76-115`), expressed as dense vector ops.
+In-block scans use the MXU: values split into 16-bit halves, each
+lane-scanned exactly with one triangular f32 matmul (Precision.HIGHEST), and
+recombined with wrapping adds; row totals are scanned after reshaping into
+full 128-lane rows (an (R,1) column wastes 127/128 of each vreg).
 
 64-bit sums (the reference's default uint->ulong widening,
-`clo_scan_bench.c:26-31`) need special handling: Mosaic on TPU has no 64-bit
-registers, so the wide path emulates u64/i64 with two u32 limbs. Each limb is
-further split into 16-bit halves so block cumsums stay exact in i32
-(block <= 2^15 elements => half-sums < 2^31); limbs are recombined with
-explicit carry propagation. The same limb kernel runs under interpret mode on
-CPU so tests exercise the real TPU code path.
+`clo_scan_bench.c:26-31`): Mosaic on v5e has no 64-bit registers, so the
+wide path emulates u64/i64 with two u32 limbs and explicit carries; the
+16-bit-half block scans stay exact for blocks <= 2^15 elements. The same
+kernels run under interpret mode on CPU so tests exercise the TPU code path.
 """
 
 from __future__ import annotations
@@ -95,26 +90,122 @@ def _ult(x, y):
     return ((x ^ _I32_MIN) < (y ^ _I32_MIN)).astype(jnp.int32)
 
 
+def _lane_scan_16bit_mxu(p_i32):
+    """Exact inclusive lane scan of <=16-bit values via one MXU matmul.
+
+    lane_scan = P @ T with T upper-triangular ones: each output is a dot of
+    <=128 16-bit terms (max 2^23), exact in f32 — the MXU does in one pass
+    what Hillis-Steele needs 7 masked-roll rounds of VPU work for.
+    """
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (r_iota <= c_iota).astype(jnp.float32)
+    # Precision.HIGHEST: the default lets the MXU demote f32 multiplies to
+    # bf16 (8-bit mantissa), silently corrupting 16-bit operands.
+    return jnp.dot(p_i32.astype(jnp.float32), tri,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _row_prefix_of_totals(row_totals):
+    """Exclusive scan over per-row totals (r,1), lanes-reshaped when r>=128.
+
+    Adds wrap in i32 — exact for mod-2^32 semantics; callers needing true
+    magnitudes must bound r * max_total < 2^31.
+    """
+    r = row_totals.shape[0]
+    if r >= LANES and r % LANES == 0:
+        t2 = row_totals.reshape(r // LANES, LANES)
+        t2s = _cumsum_axis(t2, 1)
+        chunk_tot = t2s[:, LANES - 1:]
+        chunk_prefix = _cumsum_axis(chunk_tot, 0) - chunk_tot
+        return (t2s + chunk_prefix).reshape(r, 1) - row_totals
+    return _cumsum_axis(row_totals, 0) - row_totals
+
+
+def _block_inclusive_scan_exact16(p_i32):
+    """Exact inclusive block scan for <=16-bit inputs (MXU lane pass).
+
+    Bound: block_elems * 65535 < 2^31 (callers keep blocks <= 2^15 elems).
+    """
+    lane_scan = _lane_scan_16bit_mxu(p_i32)
+    row_totals = lane_scan[:, LANES - 1:]
+    return lane_scan + _row_prefix_of_totals(row_totals)
+
+
+def _block_inclusive_scan_mod32(x_i32):
+    """Inclusive block scan, exact mod 2^32, for full 32-bit values.
+
+    Split into 16-bit halves, MXU-scan each exactly along lanes, recombine
+    with wrapping adds (a + (b << 16) wraps to the right mod-2^32 value),
+    then add a wrapping row prefix. No block-size bound — wrap is the
+    semantics.
+    """
+    lo = _lane_scan_16bit_mxu(x_i32 & _MASK16)
+    hi = _lane_scan_16bit_mxu((x_i32 >> 16) & _MASK16)
+    word = lo + (hi << 16)
+    row_totals = word[:, LANES - 1:]
+    return word + _row_prefix_of_totals(row_totals)
+
+
 # --- narrow path: sums fit a 32-bit (or native float) register ---------------
 
-def _scan_kernel(x_ref, out_ref, carry_ref, *, exclusive: bool, compute_dtype,
-                 out_dtype):
-    step = pl.program_id(0)
+def _scan_block_kernel(base_ref, x_ref, out_ref, *, exclusive: bool,
+                       compute_dtype, out_dtype):
+    """Per-block scan + precomputed base add (no cross-step dependency).
 
-    @pl.when(step == 0)
-    def _():
-        carry_ref[0, 0] = jnp.zeros((), compute_dtype)
-
-    x = x_ref[...].astype(compute_dtype)
-    incl = _block_inclusive_scan(x)
-    carry = carry_ref[0, 0]
-    if exclusive:
-        # exclusive = inclusive - x: exact for modular integer arithmetic.
-        out_ref[...] = (incl + carry - x).astype(out_dtype)
+    The reference's three-phase structure (workgroupScan -> sums scan ->
+    addWorkgroupSums, clo_scan_blelloch.cl:49-211) turns out to be right on
+    TPU too: a serial SMEM carry between grid steps defeats Mosaic's
+    pipelining, while a precomputed per-block base keeps every step
+    independent and the kernel streaming at HBM speed.
+    """
+    base = base_ref[pl.program_id(0)]
+    if jnp.dtype(compute_dtype).kind in "iu":
+        # Everything in i32: wrapping adds equal mod-2^32 semantics, and
+        # neither unsigned nor 64-bit types have to survive Mosaic.
+        x = x_ref[...]
+        if jnp.dtype(x.dtype).kind == "u":
+            xi = jax.lax.bitcast_convert_type(
+                x.astype(jnp.uint32), jnp.int32)
+        else:
+            xi = x.astype(jnp.int32)
+        incl = _block_inclusive_scan_mod32(xi)
+        res = incl + base - xi if exclusive else incl + base
+        if jnp.dtype(out_dtype).kind == "u":
+            out_ref[...] = jax.lax.bitcast_convert_type(
+                res, jnp.uint32).astype(out_dtype)
+        else:
+            out_ref[...] = res.astype(out_dtype)
     else:
-        out_ref[...] = (incl + carry).astype(out_dtype)
-    r, c = incl.shape
-    carry_ref[0, 0] = carry + incl[r - 1, c - 1]
+        x = x_ref[...].astype(compute_dtype)
+        incl = _block_inclusive_scan(x)
+        res = incl + base - x if exclusive else incl + base
+        out_ref[...] = res.astype(out_dtype)
+
+
+def _wide_scan_block_kernel(base_lo_ref, base_hi_ref, lo_ref, hi_ref,
+                            out_lo_ref, out_hi_ref, *, exclusive: bool):
+    """Base-fed per-block scan of 64-bit values as (lo, hi) i32 limbs."""
+    xlo = lo_ref[...]
+    xhi = hi_ref[...]
+    word_lo, carry_lo = _scan_u32_mod(xlo)
+    word_hi, _ = _scan_u32_mod(xhi)
+    word_hi = word_hi + carry_lo
+
+    b = pl.program_id(0)
+    base_lo = base_lo_ref[b]
+    base_hi = base_hi_ref[b]
+    incl_lo = word_lo + base_lo
+    incl_hi = word_hi + base_hi + _ult(incl_lo, base_lo)
+    if exclusive:
+        out_lo = incl_lo - xlo
+        out_hi = incl_hi - xhi - _ult(incl_lo, xlo)
+    else:
+        out_lo, out_hi = incl_lo, incl_hi
+    out_lo_ref[...] = out_lo
+    out_hi_ref[...] = out_hi
+
 
 
 # --- wide path: 64-bit sums as two u32 limbs ---------------------------------
@@ -126,46 +217,12 @@ def _scan_u32_mod(x_i32):
     recombines: sum = (a & 0xffff) | ((a>>16 + b) << 16) with carry-out
     (a>>16 + b) >> 16. Returns (sum_mod_2^32 as i32, carry_out as i32).
     """
-    a = _block_inclusive_scan(x_i32 & _MASK16)
-    b = _block_inclusive_scan((x_i32 >> 16) & _MASK16)
+    a = _block_inclusive_scan_exact16(x_i32 & _MASK16)
+    b = _block_inclusive_scan_exact16((x_i32 >> 16) & _MASK16)
     t = (a >> 16) + b
     word = (a & _MASK16) | ((t & _MASK16) << 16)
     carry = t >> 16
     return word, carry
-
-
-def _wide_scan_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, carry_ref, *,
-                      exclusive: bool):
-    """Grid-carry scan of 64-bit values given as (lo, hi) u32-in-i32 limbs."""
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        carry_ref[0] = 0
-        carry_ref[1] = 0
-
-    xlo = lo_ref[...]
-    xhi = hi_ref[...]
-    word_lo, carry_lo = _scan_u32_mod(xlo)
-    word_hi, _ = _scan_u32_mod(xhi)  # high-limb overflow drops (mod 2^64)
-    word_hi = word_hi + carry_lo
-
-    run_lo = carry_ref[0]
-    run_hi = carry_ref[1]
-    incl_lo = word_lo + run_lo
-    incl_hi = word_hi + run_hi + _ult(incl_lo, run_lo)
-
-    r, c = incl_lo.shape
-    carry_ref[0] = incl_lo[r - 1, c - 1]
-    carry_ref[1] = incl_hi[r - 1, c - 1]
-
-    if exclusive:
-        out_lo = incl_lo - xlo
-        out_hi = incl_hi - xhi - _ult(incl_lo, xlo)
-    else:
-        out_lo, out_hi = incl_lo, incl_hi
-    out_lo_ref[...] = out_lo
-    out_hi_ref[...] = out_hi
 
 
 def _to_limbs(x):
@@ -194,9 +251,10 @@ def _from_limbs(lo_i32, hi_i32, sum_dtype):
     return u.astype(sum_dtype)
 
 
-def _row_block_index_map(i):
+def _row_block_index_map(i, *prefetch_refs):
     # (i, i * 0) not (i, 0): under x64 a literal 0 traces as i64, which the
-    # Mosaic index-map lowering rejects.
+    # Mosaic index-map lowering rejects. Scalar-prefetch grid specs pass the
+    # prefetch refs as extra index-map args; they are unused here.
     return (i, i * 0)
 
 
@@ -247,19 +305,36 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False):
         compute_dtype = sum_dtype
 
     x2, n_blocks = _pad_2d(x, block_rows)
-    out = pl.pallas_call(
-        functools.partial(_scan_kernel, exclusive=exclusive,
-                          compute_dtype=compute_dtype, out_dtype=sum_dtype),
+    # Phase 1+2 (XLA): per-block sums, then a tiny exclusive scan of them —
+    # bases precomputed so the Pallas pass has no cross-step dependency.
+    if compute_dtype.kind in "iu":
+        xi = x2.astype(jnp.uint32) if compute_dtype.kind == "u" or \
+            jnp.dtype(x2.dtype).kind == "u" else x2.astype(jnp.int32)
+        xi = (jax.lax.bitcast_convert_type(xi, jnp.int32)
+              if xi.dtype == jnp.uint32 else xi)
+        # dtype pinned: jnp.sum promotes i32 to i64 under x64
+        sums = jnp.sum(xi.reshape(n_blocks, block_rows * LANES), axis=1,
+                       dtype=jnp.int32)
+    else:
+        sums = jnp.sum(x2.reshape(n_blocks, block_rows * LANES)
+                       .astype(compute_dtype), axis=1)
+    base = jnp.cumsum(sums) - sums  # (n_blocks,) scalar-prefetch arg
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((block_rows, LANES), _row_block_index_map,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((block_rows, LANES), _row_block_index_map,
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_scan_block_kernel, exclusive=exclusive,
+                          compute_dtype=compute_dtype, out_dtype=sum_dtype),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks * block_rows, LANES),
                                        sum_dtype),
-        scratch_shapes=[pltpu.SMEM((1, 1), compute_dtype)],
         interpret=interpret,
-    )(x2)
+    )(base, x2)
     return out.reshape(-1)[:n]
 
 
@@ -267,18 +342,35 @@ def _scan_1d_wide(x, sum_dtype, exclusive, block_rows, interpret):
     lo, hi = _to_limbs(x)
     lo2, n_blocks = _pad_2d(lo, block_rows)
     hi2, _ = _pad_2d(hi, block_rows)
+    # Per-block u64 sums + exclusive scan in XLA (u64 is fine outside
+    # Mosaic); bases split back into i32 limbs for the kernel.
+    usum = jnp.sum(
+        jax.lax.bitcast_convert_type(lo2, jnp.uint32)
+        .reshape(n_blocks, block_rows * LANES).astype(jnp.uint64), axis=1)
+    usum = usum + (jnp.sum(
+        jax.lax.bitcast_convert_type(hi2, jnp.uint32)
+        .reshape(n_blocks, block_rows * LANES).astype(jnp.uint64), axis=1)
+        << jnp.uint64(32))
+    base64 = jnp.cumsum(usum) - usum
+    base_lo = jax.lax.bitcast_convert_type(
+        (base64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+    base_hi = jax.lax.bitcast_convert_type(
+        (base64 >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
     spec = pl.BlockSpec((block_rows, LANES), _row_block_index_map,
                         memory_space=pltpu.VMEM)
-    out_lo, out_hi = pl.pallas_call(
-        functools.partial(_wide_scan_kernel, exclusive=exclusive),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[spec, spec],
         out_specs=(spec, spec),
+    )
+    out_lo, out_hi = pl.pallas_call(
+        functools.partial(_wide_scan_block_kernel, exclusive=exclusive),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(lo2, hi2)
+    )(base_lo, base_hi, lo2, hi2)
     return _from_limbs(out_lo.reshape(-1), out_hi.reshape(-1), sum_dtype)
