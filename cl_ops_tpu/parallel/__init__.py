@@ -8,8 +8,12 @@ a device mesh, per-chip Pallas kernels wrapped in shard_map, XLA collectives
 
 from cl_ops_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated,
                                       row_sharding)
+from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+from cl_ops_tpu.parallel.join import dist_hash_join
 from cl_ops_tpu.parallel.scan import dist_scan
+from cl_ops_tpu.parallel.shuffle import partition_exchange
 from cl_ops_tpu.parallel.sort import dist_sort
 
-__all__ = ["DATA_AXIS", "dist_scan", "dist_sort", "make_mesh", "replicated",
-           "row_sharding"]
+__all__ = ["DATA_AXIS", "dist_group_aggregate", "dist_hash_join",
+           "dist_scan", "dist_sort", "make_mesh", "partition_exchange",
+           "replicated", "row_sharding"]

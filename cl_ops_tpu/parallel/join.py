@@ -1,0 +1,134 @@
+"""Distributed hash join: partition-exchange both sides, join locally.
+
+The north-star config ("Distributed hash join: 1B-row fact x 100M-row dim
+... 4-host shuffle", BASELINE.json). Both relations hash-partition on the
+join key over the mesh (parallel/shuffle.py all_to_all exchange), every chip
+joins only its partition, and probe results shuffle back to their origin
+rows — deterministic, collective-only communication.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cl_ops_tpu.ops.exec.join import hash_u32
+from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.shuffle import partition_exchange
+from cl_ops_tpu.utils.bits import log2_floor, is_po2
+
+
+def _key_partition(keys, n_chips: int):
+    """Hash partition id in [0, n_chips) (Fibonacci hash high bits)."""
+    bits = log2_floor(n_chips)
+    if bits == 0:
+        return jnp.zeros(keys.shape, jnp.int32)
+    return hash_u32(keys, bits)
+
+
+def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
+                   capacity_build: int, capacity_probe: int,
+                   axis: str = DATA_AXIS):
+    """Inner equi-join of row-sharded relations (unique build keys).
+
+    capacity_* bound rows per (source chip -> partition) bucket in the two
+    shuffles (static shapes). Returns (found, vals) row-sharded and aligned
+    with probe_keys' original layout.
+    """
+    n_chips = mesh.shape[axis]
+    if not is_po2(n_chips):
+        raise ValueError("mesh axis size must be a power of 2")
+    n_probe = probe_keys.shape[0]
+    shard_len = n_probe // n_chips
+
+    # 1. shuffle the build side by key hash
+    bpart = _key_partition(build_keys, n_chips)
+    bcounts, _, bk, bv = partition_exchange(
+        build_keys, bpart, mesh, capacity=capacity_build, axis=axis,
+        extra_cols=(build_vals,))
+
+    # 2. shuffle the probe side, carrying global row ids
+    gidx = jnp.arange(n_probe, dtype=jnp.int32)
+    ppart = _key_partition(probe_keys, n_chips)
+    pcounts, _, pk, pg = partition_exchange(
+        probe_keys, ppart, mesh, capacity=capacity_probe, axis=axis,
+        extra_cols=(gidx,))
+
+    # 3. local join per chip + route results back by origin chip
+    def local_fn(bc, bkl, bvl, pc, pkl, pgl):
+        bc = bc.reshape(-1)
+        pc = pc.reshape(-1)
+        bkl = bkl.reshape(n_chips, capacity_build)
+        bvl = bvl.reshape(n_chips, capacity_build)
+        pkl = pkl.reshape(n_chips, capacity_probe)
+        pgl = pgl.reshape(n_chips, capacity_probe)
+        slot_b = jax.lax.broadcasted_iota(jnp.int32, bkl.shape, 1)
+        valid_b = slot_b < bc[:, None]
+        slot_p = jax.lax.broadcasted_iota(jnp.int32, pkl.shape, 1)
+        valid_p = slot_p < pc[:, None]
+
+        # build a sorted local dim table; invalid slots get a sentinel key
+        # that cannot equal a real probe (max u32 also flagged via valid).
+        sent = (jnp.asarray(2**32 - 1, bkl.dtype)
+        if jnp.dtype(bkl.dtype) == jnp.uint32
+        else jnp.asarray(-1, bkl.dtype))
+        bkey = jnp.where(valid_b, bkl, sent).reshape(-1)
+        order = jnp.argsort(bkey)
+        skey = jnp.take(bkey, order)
+        sval = jnp.take(bvl.reshape(-1), order)
+        svalid = jnp.take(valid_b.reshape(-1), order)
+
+        pkey = pkl.reshape(-1)
+        idx = jnp.searchsorted(skey, pkey)
+        idx = jnp.minimum(idx, skey.shape[0] - 1)
+        hit = (jnp.take(skey, idx) == pkey) & jnp.take(svalid, idx) \
+            & valid_p.reshape(-1)
+        val = jnp.take(sval, idx)
+
+        # 4. send (gidx, found, val) back to the origin chip
+        g = pgl.reshape(-1)
+        origin = jnp.where(valid_p.reshape(-1), g // shard_len,
+                           jnp.int32(n_chips))  # invalid rows -> dropped
+        cap_back = capacity_probe  # per-origin bucket bound
+        m = g.shape[0]
+        order2 = jnp.argsort(origin, stable=True)
+        so = jnp.take(origin, order2)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        start = jnp.searchsorted(so, jnp.arange(
+            n_chips, dtype=so.dtype)).astype(jnp.int32)
+        rank = pos - jnp.take(start, jnp.minimum(so, n_chips - 1))
+        dest = jnp.minimum(so, n_chips) * cap_back + rank
+        dest = jnp.where((so < n_chips) & (rank < cap_back), dest,
+                         n_chips * cap_back)
+
+        def route(col, dtype):
+            buf = jnp.zeros((n_chips * cap_back,), dtype).at[dest].set(
+                jnp.take(col, order2).astype(dtype), mode="drop",
+                unique_indices=True)
+            return jax.lax.all_to_all(
+                buf.reshape(n_chips, cap_back), axis, split_axis=0,
+                concat_axis=0, tiled=False).reshape(-1)
+
+        rg = route(g, jnp.int32)
+        rhit = route(hit.astype(jnp.int32), jnp.int32)
+        rval = route(val, val.dtype)
+        # mark empty return slots: route a validity flag too
+        rvalid = route(jnp.ones((m,), jnp.int32), jnp.int32)
+
+        # 5. scatter into this chip's original row order
+        local_rows = shard_len
+        li = rg % local_rows
+        li = jnp.where(rvalid > 0, li, local_rows)  # drop empty slots
+        found_out = jnp.zeros((local_rows,), jnp.bool_).at[li].set(
+            rhit > 0, mode="drop")
+        vals_out = jnp.zeros((local_rows,), rval.dtype).at[li].set(
+            rval, mode="drop")
+        return found_out, vals_out
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
+                   out_specs=(P(axis), P(axis)), check_vma=False)
+    sharding = NamedSharding(mesh, P(axis))
+    return fn(*(jax.device_put(a, sharding)
+                for a in (bcounts, bk, bv, pcounts, pk, pg)))

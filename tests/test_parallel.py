@@ -96,3 +96,76 @@ def test_dist_sort_pallas_interpret(mesh8):
     x = rng.randint(0, 1 << 31, size=8 * 1024, dtype=np.int64).astype(np.uint32)
     out = parallel.dist_sort(x, mesh8, use_pallas=True, block_rows=8)
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+
+
+def test_partition_exchange(mesh8):
+    from cl_ops_tpu.parallel.shuffle import partition_exchange
+    import jax.numpy as jnp
+    rng = np.random.RandomState(20)
+    n = 8 * 512
+    data = rng.randint(0, 1 << 30, size=n).astype(np.uint32)
+    part = (data % 8).astype(np.int32)  # hash partition by low bits
+    cap = 256
+    counts, dropped, out = partition_exchange(
+        jnp.asarray(data), jnp.asarray(part), mesh8, capacity=cap)
+    counts = np.asarray(counts).reshape(8, 8)  # [dst, src]
+    assert int(np.asarray(dropped).sum()) == 0
+    out = np.asarray(out).reshape(8, 8, cap)   # [dst, src, slot]
+    for dst in range(8):
+        got = np.sort(np.concatenate(
+            [out[dst, s, :counts[dst, s]] for s in range(8)]))
+        expect = np.sort(data[part == dst])
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_partition_exchange_overflow(mesh8):
+    from cl_ops_tpu.parallel.shuffle import partition_exchange
+    import jax.numpy as jnp
+    n = 8 * 64
+    data = np.arange(n, dtype=np.uint32)
+    part = np.zeros(n, np.int32)  # everything to chip 0: overflow forced
+    counts, dropped, out = partition_exchange(
+        jnp.asarray(data), jnp.asarray(part), mesh8, capacity=16)
+    assert int(np.asarray(dropped).sum()) == n - 8 * 16
+
+
+def test_dist_hash_join(mesh8):
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    rng = np.random.RandomState(30)
+    dim_keys = np.unique(rng.randint(0, 1 << 20, size=600).astype(np.uint32))
+    nb = (len(dim_keys) // 8) * 8
+    dim_keys = dim_keys[:nb]
+    dim_vals = (dim_keys * 3 + 1).astype(np.uint32)
+    fact = np.concatenate([
+        dim_keys[rng.randint(0, nb, size=8 * 200)],
+        rng.randint(1 << 20, 1 << 21, size=8 * 56).astype(np.uint32)])
+    rng.shuffle(fact)
+    found, vals = dist_hash_join(
+        jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(fact),
+        mesh8, capacity_build=nb, capacity_probe=len(fact))
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(fact, dim_keys)
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(vals[expect], fact[expect] * 3 + 1)
+
+
+def test_dist_group_aggregate(mesh8):
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    import jax.numpy as jnp
+    rng = np.random.RandomState(31)
+    n = 8 * 512
+    keys = rng.randint(0, 100, size=n).astype(np.uint32)
+    vals = rng.randint(0, 50, size=n).astype(np.int32)
+    gk, table, cnt = dist_group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), mesh8,
+        num_groups=256, capacity=n, agg="sum")
+    gk = np.asarray(gk).reshape(8, 256)
+    table = np.asarray(table).reshape(8, 256)
+    cnt = np.asarray(cnt).reshape(8)
+    got = {}
+    for c in range(8):
+        for i in range(cnt[c]):
+            got[int(gk[c, i])] = int(table[c, i])
+    expect = {int(k): int(vals[keys == k].sum()) for k in np.unique(keys)}
+    assert got == expect
