@@ -77,8 +77,8 @@ def default_sync():
 
     @jax.jit
     def small_sum(r):
-        if isinstance(r, tuple):
-            r = r[0]
+        if r.ndim == 0:
+            return r.astype(jnp.float32)
         return r[:8].astype(jnp.float32).sum()
 
     def sync(out):

@@ -1,0 +1,108 @@
+"""Query-operator benchmark CLI — the north-star operator configs.
+
+Covers the BASELINE.json single-chip configs (scaled by --scale):
+  filter     — prefix-sum filter + compaction, 10% selectivity
+  aggregate  — GROUP BY sum over hashed keys
+  join       — dim-table build + fact probe (Zipf-skewed keys available)
+
+Usage:
+  python -m cl_ops_tpu.bench.exec_bench --op filter -n 26 -r 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--op", default="filter",
+                   choices=["filter", "aggregate", "join"])
+    p.add_argument("-n", "--log2n", type=int, default=24,
+                   help="rows = 2^log2n (default 24)")
+    p.add_argument("-r", "--runs", type=int, default=5)
+    p.add_argument("--selectivity", type=float, default=0.10)
+    p.add_argument("--groups", type=int, default=1 << 20)
+    p.add_argument("--dim-log2", type=int, default=20,
+                   help="join build side = 2^dim_log2 rows")
+    p.add_argument("--zipf", type=float, default=0.0,
+                   help="Zipf exponent for join probe keys (0 = uniform)")
+    p.add_argument("-s", "--rng-seed", type=int, default=0)
+    p.add_argument("--no-check", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    from cl_ops_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cl_ops_tpu.bench import common
+    from cl_ops_tpu.ops import exec as ex
+
+    n = 1 << args.log2n
+    rng = np.random.RandomState(args.rng_seed)
+    sync = common.default_sync()
+
+    if args.op == "filter":
+        thresh = int(args.selectivity * (1 << 20))
+        x = jnp.asarray(rng.randint(0, 1 << 20, size=n).astype(np.uint32))
+        fn = lambda v: ex.filter_compact(  # noqa: E731
+            v, lambda d: d < jnp.uint32(thresh))
+        secs = common.time_async(fn, (x,), args.runs, sync)
+        if not args.no_check:
+            count, packed = fn(x)
+            host = np.asarray(x)
+            keep = host[host < thresh]
+            assert int(count) == len(keep)
+            assert np.array_equal(np.asarray(packed)[:len(keep)], keep)
+    elif args.op == "aggregate":
+        keys = jnp.asarray(rng.randint(0, args.groups, size=n)
+                           .astype(np.int32))
+        vals = jnp.asarray(rng.randint(0, 100, size=n).astype(np.int32))
+        fn = lambda k, v: ex.group_aggregate_direct(  # noqa: E731
+            k, v, num_groups=args.groups)
+        secs = common.time_async(fn, (keys, vals), args.runs, sync)
+        if not args.no_check:
+            table = np.asarray(fn(keys, vals))
+            hk, hv = np.asarray(keys), np.asarray(vals)
+            probe = rng.randint(0, args.groups, size=16)
+            for g in probe:
+                assert table[g] == hv[hk == g].sum()
+    else:  # join
+        nd = 1 << args.dim_log2
+        dim_keys = np.arange(nd, dtype=np.uint32)
+        rng.shuffle(dim_keys)
+        dim_vals = (dim_keys * 7 + 1).astype(np.uint32)
+        if args.zipf > 0:
+            probe = (np.random.default_rng(args.rng_seed)
+                     .zipf(args.zipf, size=n) % nd).astype(np.uint32)
+        else:
+            probe = rng.randint(0, nd, size=n).astype(np.uint32)
+        dk, dv, pk = (jnp.asarray(dim_keys), jnp.asarray(dim_vals),
+                      jnp.asarray(probe))
+        from cl_ops_tpu.ops.sort import sort_new
+        sorter = sort_new("xla", elem_dtype="uint")
+        sdk, sdv = sorter.sort_with_device_data(dk, dv)
+        fn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
+        secs = common.time_async(fn, (pk,), args.runs, sync)
+        if not args.no_check:
+            found, vals = fn(pk)
+            assert bool(np.all(np.asarray(found)))
+            samp = rng.randint(0, n, size=16)
+            v = np.asarray(vals)
+            for i in samp:
+                assert v[i] == probe[i] * 7 + 1
+
+    mrows = common.throughput_m(n, args.runs, secs)
+    print(f"{args.op}: {n} rows x {args.runs} runs -> {mrows:.1f} Mrows/s "
+          f"({secs / args.runs * 1e3:.2f} ms/run)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,3 +64,12 @@ def test_rng_bench_bits_and_maxint(capsys):
     assert rc == 0
     vals = [int(v) for v in capsys.readouterr().out.split()]
     assert all(0 <= v <= 9 for v in vals)
+
+
+def test_exec_bench_cli(capsys):
+    from cl_ops_tpu.bench import exec_bench
+    for op, extra in (("filter", []), ("aggregate", ["--groups", "256"]),
+                      ("join", ["--dim-log2", "8"])):
+        rc = exec_bench.main(["--op", op, "-n", "12", "-r", "1"] + extra)
+        assert rc == 0
+        assert op in capsys.readouterr().out
