@@ -51,6 +51,10 @@ class GeneratorDef:
     seed_from_u64: Callable[[jnp.ndarray], jnp.ndarray]
     # step(states) -> (new_states, u32 draws[n])
     step: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]
+    # optional batch(states, draws) -> (new_states, u32[draws, n]); only
+    # counter-based generators can produce all draws in one fused pass
+    # (stateful recurrences are inherently sequential)
+    batch: Callable | None = None
 
     def state_shape(self, n_streams: int) -> tuple[int, ...]:
         if self.state_words == 0:
@@ -225,8 +229,23 @@ def _threefry_step(states):
     return new, val
 
 
+def _threefry_batch(states, draws: int):
+    """All draws at once: counter-based = no sequential dependency.
+
+    vals[d, s] = threefry(stream_s, counter_s + d) — one fused VPU pass
+    over the whole (draws, streams) grid, where stateful generators need a
+    lax.scan of `draws` dependent steps.
+    """
+    stream, counter = states[..., 0], states[..., 1]
+    d = jax.lax.broadcasted_iota(jnp.uint32, (draws, stream.shape[0]), 0)
+    vals = tf3.random_bits(0, stream[None, :], counter[None, :] + d)
+    new = jnp.stack([stream, counter + jnp.uint32(draws)], axis=-1)
+    return new, vals
+
+
 generators.register("threefry")(lambda: GeneratorDef(
-    "threefry", np.dtype(np.uint32), 2, _threefry_seed, _threefry_step))
+    "threefry", np.dtype(np.uint32), 2, _threefry_seed, _threefry_step,
+    batch=_threefry_batch))
 
 
 def generator_names() -> list[str]:

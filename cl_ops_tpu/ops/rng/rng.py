@@ -116,6 +116,9 @@ def _jit_step(gen: GeneratorDef):
 
 @functools.cache
 def _jit_generate(gen: GeneratorDef, draws: int):
+    if gen.batch is not None:
+        return jax.jit(functools.partial(gen.batch, draws=draws))
+
     def run(states):
         def body(s, _):
             new_s, v = gen.step(s)
