@@ -43,6 +43,22 @@ MIN_ROWS = 8  # minimum sublane tile for i32
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _gather_lanes(a, idx_i32):
+    """Lane-dim gather with explicit i32 indices.
+
+    jnp.take_along_axis promotes indices to int64 under jax_enable_x64,
+    which Mosaic rejects; issuing lax.gather directly with the exact
+    dimension numbers Mosaic supports (tpu.dynamic_gather along dim 1)
+    keeps indices i32.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        a, idx_i32[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _lex_lt(a: tuple, b: tuple):
     """Strict lexicographic a < b over i32 limb tuples (signed order)."""
     lt = a[0] < b[0]
@@ -73,7 +89,7 @@ def _partner(arrs: tuple, j):
             out.append(jnp.where(bit, up, down))
         return tuple(out)
     idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) ^ j_val
-    return tuple(jnp.take_along_axis(a, idx, axis=1) for a in arrs)
+    return tuple(_gather_lanes(a, idx) for a in arrs)
 
 
 def _flat_bit(shape, k_val, is_row_bit):
@@ -123,7 +139,7 @@ def _cx_lanes_dyn(arrs: tuple, asc_mask, j):
     shape = arrs[0].shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = lane_iota ^ j
-    p = tuple(jnp.take_along_axis(a, idx, axis=1) for a in arrs)
+    p = tuple(_gather_lanes(a, idx) for a in arrs)
     keep_min = ((lane_iota & j) == 0) == asc_mask
     take_self = keep_min == _lex_lt(arrs, p)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
@@ -177,18 +193,24 @@ def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
         row_hi = log2_floor(j // LANES)
 
         def row_body(m, a):
-            j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m)
+            # m arrives as i64 under x64; i64 poisons Mosaic lowering
+            j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m.astype(jnp.int32))
             return _cx_rows_dyn(a, asc_mask, j_rows)
 
-        arrs = jax.lax.fori_loop(0, row_hi + 1, row_body, arrs)
+        # i32 bounds: python-int bounds give the loop an i64 induction
+        # variable under x64, which sends Mosaic's convert lowering into
+        # infinite recursion.
+        arrs = jax.lax.fori_loop(jnp.int32(0), jnp.int32(row_hi + 1),
+                                 row_body, arrs)
         j = LANES // 2
     lane_hi = log2_floor(max(j, 1))
 
     def lane_body(m, a):
-        jj = jnp.int32(1) << (jnp.int32(lane_hi) - m)
+        jj = jnp.int32(1) << (jnp.int32(lane_hi) - m.astype(jnp.int32))
         return _cx_lanes_dyn(a, asc_mask, jj)
 
-    return jax.lax.fori_loop(0, lane_hi + 1, lane_body, arrs)
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(lane_hi + 1),
+                             lane_body, arrs)
 
 
 def _stage_group_asc(k: int):
@@ -291,24 +313,39 @@ def _cross_kernel(params_ref, *refs, n_arrays: int):
         o[...] = jnp.where(take_self, a, pp)
 
 
-def _single_step_kernel(*refs, n_arrays: int, k_val: int, j_val: int):
+def _single_step_kernel(params_ref, *refs, n_arrays: int, row_step: bool):
     """One global (K, J) pass with J < B, one block per grid step.
 
-    Direction may depend on block index (K > B) or be intra-block (K <= B).
+    params = [j (row units if row_step else lanes), k_block_units,
+    k_in_block] via scalar prefetch: only TWO compiled kernels (row/lane
+    regime) serve all O(log^2 n) sbitonic launches — static (K, J) made
+    every step a separate remote Mosaic compile. Direction: when K spans
+    blocks (k_block_units > 0) it is per-block (block_id & k_block_units);
+    otherwise intra-block from k_in_block's bit of the flat index.
     """
     ins, outs = refs[:n_arrays], refs[n_arrays:]
     shape = ins[0].shape
-    block_elems = shape[0] * LANES
     arrs = tuple(r[...] for r in ins)
-    if k_val >= block_elems:
-        b = pl.program_id(0)
-        asc = jnp.full(shape, True) & ((b & (k_val // block_elems)) == 0)
+    j = params_ref[0]
+    k_blocks = params_ref[1]
+    k_row_bit = params_ref[2]
+    k_lane_bit = params_ref[3]
+    b = pl.program_id(0)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    # flat-index bit of K: block bit when K >= block, else row/lane bit
+    # (bit positions precomputed on host — in-kernel // on prefetch scalars
+    # hits a Mosaic lowering recursion; a scalar-cond vector select fails
+    # to legalize, so the two direction sources blend with boolean algebra).
+    use_block = k_blocks > 0
+    asc_block = (b & k_blocks) == 0
+    asc_elem = ((rows_iota & k_row_bit) | (cols_iota & k_lane_bit)) == 0
+    asc = ((use_block & asc_block) | (jnp.logical_not(use_block) & asc_elem)
+           ) | jnp.zeros(shape, jnp.bool_)
+    if row_step:
+        arrs = _cx_rows_dyn(arrs, asc, j)
     else:
-        asc = jnp.logical_not(
-            _flat_bit(shape, k_val // LANES if k_val >= LANES else k_val,
-                      k_val >= LANES))
-    arrs = _cx(arrs, asc,
-               (j_val // LANES, True) if j_val >= LANES else (j_val, False))
+        arrs = _cx_lanes_dyn(arrs, asc, j)
     for o, a in zip(outs, arrs):
         o[...] = a
 
@@ -353,6 +390,36 @@ def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret):
     )
     out = pl.pallas_call(
         functools.partial(_block_merge_kernel, n_arrays=n_arrays),
+        grid_spec=grid_spec,
+        out_shape=shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(params, *arrs2d)
+    return tuple(out)
+
+
+def _call_single_step(arrs2d, n_blocks, block_rows, k, j, interpret):
+    n_arrays = len(arrs2d)
+    shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
+    block_elems = block_rows * LANES
+    row_step = j >= LANES
+    # encode K: block-units bit when K >= block (direction uniform per
+    # block), else the in-block K value split into row/lane bit parts.
+    k_blocks = k // block_elems if k >= block_elems else 0
+    k_row_bit = k // LANES if (k < block_elems and k >= LANES) else 0
+    k_lane_bit = k if k < LANES else 0
+    params = jnp.array([j // LANES if row_step else j, k_blocks,
+                        k_row_bit, k_lane_bit], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=_specs(n_arrays, block_rows),
+        out_specs=tuple(_specs(n_arrays, block_rows)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_single_step_kernel, n_arrays=n_arrays,
+                          row_step=row_step),
         grid_spec=grid_spec,
         out_shape=shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -478,9 +545,8 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
                                      j // block_elems, k // block_elems,
                                      interpret)
             else:
-                arrs2d = _call_per_block(
-                    _single_step_kernel, arrs2d, n_blocks, block_rows,
-                    interpret, k_val=k, j_val=j)
+                arrs2d = _call_single_step(arrs2d, n_blocks, block_rows,
+                                           k, j, interpret)
             j //= 2
     return arrs2d
 

@@ -44,10 +44,7 @@ from cl_ops_tpu.utils.platform import pallas_interpret
 LANES = 128
 
 
-def _block_excl_scan(mask_2d):
-    """Row-major exclusive scan of a 0/1 (R,128) i32 block."""
-    from cl_ops_tpu.ops.scan.kernels import _block_inclusive_scan
-    return _block_inclusive_scan(mask_2d) - mask_2d
+
 
 
 def _rank_hist_kernel(dig_ref, rank_ref, hist_ref, *, nbins: int,
@@ -57,17 +54,24 @@ def _rank_hist_kernel(dig_ref, rank_ref, hist_ref, *, nbins: int,
     rank[i] = #{j < i in block : digit_j == digit_i}; hist row holds the
     block's per-bin counts in lanes 0..nbins-1.
     """
+    from cl_ops_tpu.ops.scan.kernels import _block_inclusive_scan
     d = dig_ref[...]
+    r = d.shape[0]
     rank = jnp.zeros_like(d)
-    hist_row = jnp.zeros((1, LANES), jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    # (8, LANES) hist tile: TPU block shapes need sublane multiples of 8;
+    # every row carries the same histogram, readers take row 0.
+    hist_rows = jnp.zeros((8, LANES), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     for b in range(nbins):
         mask = (d == b).astype(jnp.int32)
-        rank = rank + _block_excl_scan(mask) * mask
-        cnt = jnp.sum(mask)
-        hist_row = jnp.where(lane == b, cnt, hist_row)
+        incl = _block_inclusive_scan(mask)
+        rank = rank + (incl - mask) * mask
+        # bin count = last inclusive-scan element (static scalar pick;
+        # jnp.sum reductions promote to i64 inside Mosaic under x64)
+        cnt = incl[r - 1, LANES - 1]
+        hist_rows = jnp.where(lane == b, cnt, hist_rows)
     rank_ref[...] = rank
-    hist_ref[...] = hist_row
+    hist_ref[...] = hist_rows
 
 
 @functools.partial(jax.jit, static_argnames=("nbins", "block_rows",
@@ -87,15 +91,15 @@ def _rank_and_hist(digits_2d, *, nbins, block_rows, interpret):
         out_specs=(
             pl.BlockSpec((block_rows, LANES), row_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), row_map, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(digits_2d.shape, jnp.int32),
-            jax.ShapeDtypeStruct((n_blocks, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.int32),
         ),
         interpret=interpret,
     )(digits_2d)
-    return rank, hist
+    return rank, hist.reshape(n_blocks, 8, LANES)[:, 0, :]
 
 
 def _make_satradix_sorter(spec, options):
