@@ -1,0 +1,104 @@
+"""Skew-aware repartitioning: sampled splitters + range exchange.
+
+The north star calls for "skew-aware repartitioning" (BASELINE.json): hash
+partitioning balances only when keys are uniform; under Zipf-style skew some
+chips drown. The classic fix (sample sort / parallel databases): every chip
+contributes a deterministic sample of its keys, all chips compute the same
+equal-frequency range splitters from the gathered sample, and rows route by
+`searchsorted(splitters, key)` — each chip then owns an equal *fraction of
+rows*, not an equal fraction of key space.
+
+Deterministic: samples are strided (not random) and every chip computes
+identical splitters from the same all_gathered sample.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.shuffle import partition_exchange
+
+
+def plan_splitters(keys, mesh: Mesh, *, samples_per_chip: int = 256,
+                   axis: str = DATA_AXIS):
+    """Compute n_chips-1 equal-frequency splitters from a strided sample.
+
+    Returns a replicated (n_chips-1,) array of splitter keys: partition p
+    takes keys in (splitter[p-1], splitter[p]] boundaries via searchsorted.
+    """
+    n_chips = mesh.shape[axis]
+
+    def local_fn(k):
+        k = k.reshape(-1)
+        m = k.shape[0]
+        stride = max(m // samples_per_chip, 1)
+        idx = (jnp.arange(samples_per_chip, dtype=jnp.int32) * stride) % m
+        sample = jnp.sort(jnp.take(k, idx))
+        allsamp = jax.lax.all_gather(sample, axis).reshape(-1)
+        allsamp = jnp.sort(allsamp)
+        total = allsamp.shape[0]
+        pick = (jnp.arange(1, n_chips, dtype=jnp.int32) * total) // n_chips
+        return jnp.take(allsamp, pick)
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(),
+                   check_vma=False)
+    return fn(jax.device_put(keys, NamedSharding(mesh, P(axis))))
+
+
+def range_partition_exchange(data, splitters, mesh: Mesh, *, capacity: int,
+                             axis: str = DATA_AXIS, extra_cols=()):
+    """Route rows by range: part_id = searchsorted(splitters, key).
+
+    With splitters from plan_splitters this is the skew-aware shuffle —
+    row counts per chip stay balanced for any key distribution the sample
+    captures. Same return convention as partition_exchange.
+    """
+    part = jnp.searchsorted(splitters, data).astype(jnp.int32)
+    return partition_exchange(data, part, mesh, capacity=capacity, axis=axis,
+                              extra_cols=extra_cols)
+
+
+def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
+                     samples_per_chip: int = 256, axis: str = DATA_AXIS):
+    """Sample sort across the mesh: splitters -> range exchange -> local sort.
+
+    The scalable alternative to the hypercube bitonic dist_sort: one
+    all_to_all instead of log^2(P) ppermute rounds. Returns per-chip
+    (counts, sorted_buffer): chip c holds counts[c].sum() valid rows sorted
+    ascending at the front of its (n_chips*capacity) buffer, and all of
+    chip c's keys precede chip c+1's. capacity_factor sizes the per-bucket
+    headroom over the uniform share (skew beyond the sample's resolution
+    drops rows — check the dropped counter).
+    """
+    n_chips = mesh.shape[axis]
+    n = x.shape[0]
+    shard_len = n // n_chips
+    capacity = int(capacity_factor * shard_len / n_chips) + 1
+    splitters = plan_splitters(x, mesh, samples_per_chip=samples_per_chip,
+                               axis=axis)
+    counts, dropped, buf = range_partition_exchange(
+        x, splitters, mesh, capacity=capacity, axis=axis)
+
+    def local_fn(c, b):
+        c = c.reshape(-1)
+        b = b.reshape(n_chips, capacity)
+        slot = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+        valid = (slot < c[:, None]).reshape(-1)
+        sent = (jnp.asarray(2**32 - 1, b.dtype)
+                if jnp.dtype(b.dtype) == jnp.uint32
+                else jnp.asarray(-1, b.dtype))
+        kf = jnp.where(valid, b.reshape(-1), sent)
+        sk = jax.lax.sort([kf], num_keys=1)[0]
+        total = jnp.sum(c, dtype=jnp.int32)
+        return sk, total.reshape(1)
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
+                   out_specs=(P(axis), P(axis)), check_vma=False)
+    sharding = NamedSharding(mesh, P(axis))
+    sorted_buf, totals = fn(jax.device_put(counts, sharding),
+                            jax.device_put(buf, sharding))
+    return totals, sorted_buf, dropped
