@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -197,10 +198,11 @@ def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
             j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m.astype(jnp.int32))
             return _cx_rows_dyn(a, asc_mask, j_rows)
 
-        # i32 bounds: python-int bounds give the loop an i64 induction
-        # variable under x64, which sends Mosaic's convert lowering into
-        # infinite recursion.
-        arrs = jax.lax.fori_loop(jnp.int32(0), jnp.int32(row_hi + 1),
+        # np.int32 bounds: concrete (static trip count — traced jnp bounds
+        # force a dynamic while_loop and ~15x slower Mosaic compiles) yet
+        # i32-typed (python ints give an i64 induction variable under x64,
+        # which sends Mosaic's convert lowering into infinite recursion).
+        arrs = jax.lax.fori_loop(np.int32(0), np.int32(row_hi + 1),
                                  row_body, arrs)
         j = LANES // 2
     lane_hi = log2_floor(max(j, 1))
@@ -209,7 +211,7 @@ def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
         jj = jnp.int32(1) << (jnp.int32(lane_hi) - m.astype(jnp.int32))
         return _cx_lanes_dyn(a, asc_mask, jj)
 
-    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(lane_hi + 1),
+    return jax.lax.fori_loop(np.int32(0), np.int32(lane_hi + 1),
                              lane_body, arrs)
 
 
