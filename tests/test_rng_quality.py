@@ -24,6 +24,13 @@ GENS = ["lcg", "xorshift64", "xorshift128", "mwc64x", "tauslcg", "threefry"]
 WARMUP = 16
 
 
+def _corr(a, b):
+    """Pearson correlation of two equally-shaped draw matrices."""
+    a = a.astype(np.float64) - a.astype(np.float64).mean()
+    b = b.astype(np.float64) - b.astype(np.float64).mean()
+    return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+
+
 def _draws(gen, n_streams=4096, draws=64, seed=123):
     r = rng_mod.rng_new(gen, "dev_gid", num_streams=n_streams,
                         main_seed=seed, hash_name="xs1")
@@ -53,22 +60,15 @@ def test_byte_chi_square(gen):
 @pytest.mark.parametrize("gen", GENS)
 def test_stream_decorrelation(gen):
     """Adjacent streams must not be correlated (GID seeding + hash)."""
-    vals = _draws(gen, n_streams=512, draws=256).astype(np.float64)
-    a, b = vals[:, ::2], vals[:, 1::2]
-    a = a - a.mean()
-    b = b - b.mean()
-    corr = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+    vals = _draws(gen, n_streams=512, draws=256)
+    corr = _corr(vals[:, ::2], vals[:, 1::2])
     assert abs(corr) < 0.01, f"{gen}: stream corr {corr}"
 
 
 def test_threefry_draw_decorrelation():
     """Successive draws of one stream are independent (counter-based)."""
-    vals = _draws("threefry", n_streams=256, draws=512).astype(np.float64)
-    a, b = vals[:-1], vals[1:]
-    a = a - a.mean()
-    b = b - b.mean()
-    corr = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
-    assert abs(corr) < 0.01
+    vals = _draws("threefry", n_streams=256, draws=512)
+    assert abs(_corr(vals[:-1], vals[1:])) < 0.01
 
 
 def test_tauslcg_knuth_seeding_weakness_characterized():
@@ -79,9 +79,5 @@ def test_tauslcg_knuth_seeding_weakness_characterized():
     seeding change is noticed."""
     r = rng_mod.rng_new("tauslcg", "dev_gid", num_streams=512,
                         main_seed=123, hash_name="knuth")
-    vals = np.asarray(r.generate(256)).astype(np.float64)
-    a, b = vals[:, ::2], vals[:, 1::2]
-    a = a - a.mean()
-    b = b - b.mean()
-    corr = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
-    assert corr > 0.1  # the weakness is real and measurable
+    vals = np.asarray(r.generate(256))
+    assert _corr(vals[:, ::2], vals[:, 1::2]) > 0.1  # real and measurable
