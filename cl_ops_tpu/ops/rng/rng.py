@@ -71,6 +71,20 @@ class Rng:
         """Per-stream state size in bytes (clo_rng_get_size, clo_rng.c:456)."""
         return self._gen.seed_bytes
 
+    def get_source(self):
+        """The generator's step function — the clo_rng_get_source analog.
+
+        The reference hands clients OpenCL C source to compile into their
+        own programs (`clo_rng.c:431-446`); the TPU-native equivalent of
+        "source you can embed" is the traced step callable: inline it into
+        your own jitted function or Pallas kernel alongside `get_device_seeds`.
+        """
+        return self._gen.step
+
+    def get_device_seeds(self):
+        """The live state array (clo_rng_get_device_seeds parity)."""
+        return self.states
+
     # -- draws ---------------------------------------------------------------
     def next_raw(self) -> jnp.ndarray:
         """Advance every stream once; return u32 draws, shape (num_streams,)."""

@@ -227,3 +227,16 @@ class TestStatisticalSmoke:
         vals = np.asarray(r.generate(64), dtype=np.float64) / 2**32
         mean = vals.mean()
         assert 0.45 < mean < 0.55, f"{name} mean {mean}"
+
+
+class TestSourceParity:
+    def test_get_source_and_seeds(self):
+        """clo_rng_get_source / get_device_seeds analogs: the step callable
+        plus the state array reproduce next_raw exactly."""
+        import jax
+        r = rng_new("mwc64x", SeedType.DEV_GID, num_streams=32, main_seed=9)
+        states = r.get_device_seeds()
+        step = r.get_source()
+        _, want = jax.jit(step)(states)
+        got = r.next_raw()
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
