@@ -51,8 +51,14 @@ def main(argv=None):
     if args.op == "filter":
         thresh = int(args.selectivity * (1 << 20))
         x = jnp.asarray(rng.randint(0, 1 << 20, size=n).astype(np.uint32))
-        fn = lambda v: ex.filter_compact(  # noqa: E731
-            v, lambda d: d < jnp.uint32(thresh))
+
+        def pred(d):
+            return d < jnp.uint32(thresh)
+
+        # one predicate object: filter_compact jit-caches on its identity —
+        # a fresh lambda per call would retrace (and remote-recompile) every
+        # iteration
+        fn = lambda v: ex.filter_compact(v, pred)  # noqa: E731
         secs = common.time_async(fn, (x,), args.runs, sync)
         if not args.no_check:
             count, packed = fn(x)
@@ -62,17 +68,22 @@ def main(argv=None):
             assert np.array_equal(np.asarray(packed)[:len(keep)], keep)
     elif args.op == "aggregate":
         keys = jnp.asarray(rng.randint(0, args.groups, size=n)
-                           .astype(np.int32))
+                           .astype(np.uint32))
         vals = jnp.asarray(rng.randint(0, 100, size=n).astype(np.int32))
-        fn = lambda k, v: ex.group_aggregate_direct(  # noqa: E731
-            k, v, num_groups=args.groups)
+        from cl_ops_tpu.ops.sort import sort_new
+        sorter = sort_new("abitonic", elem_dtype="uint")
+
+        def fn(k, v):
+            return ex.group_aggregate_sorted(k, v, num_groups=args.groups,
+                                             sorter=sorter)
         secs = common.time_async(fn, (keys, vals), args.runs, sync)
         if not args.no_check:
-            table = np.asarray(fn(keys, vals))
+            gk, table, cnt = fn(keys, vals)
+            gk, table = np.asarray(gk), np.asarray(table)
             hk, hv = np.asarray(keys), np.asarray(vals)
-            probe = rng.randint(0, args.groups, size=16)
-            for g in probe:
-                assert table[g] == hv[hk == g].sum()
+            probe = rng.randint(0, int(cnt), size=16)
+            for i in probe:
+                assert table[i] == hv[hk == gk[i]].sum()
     else:  # join
         nd = 1 << args.dim_log2
         dim_keys = np.arange(nd, dtype=np.uint32)

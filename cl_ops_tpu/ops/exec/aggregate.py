@@ -83,15 +83,54 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "agg"))
 def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str):
+    """Scatter-free segmented reduce over key-sorted rows.
+
+    sum/count/mean: group totals are differences of the running cumsum at
+    segment END positions; the (data-dependent) end-position list compacts
+    to the front with the same stable-sort trick filter_compact uses. XLA
+    scatter-add on TPU is element-serialized (~2 Mrows/s measured), while
+    this path is sort/cumsum/gather only. min/max fall back to scatter
+    (no cumsum-diff identity) — prefer sum-type aggregations at scale.
+    """
     n = skeys.shape[0]
     prev = jnp.concatenate([skeys[:1], skeys[:-1]])
     is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                               (skeys != prev)[1:]])
     group_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     count = group_id[-1] + 1
-    table = group_aggregate_direct(group_id, svals, num_groups=num_groups,
-                                   agg=agg)
-    first_pos = jnp.full((num_groups,), n, jnp.int32).at[group_id].min(
-        jax.lax.broadcasted_iota(jnp.int32, (n,), 0), mode="drop")
-    group_keys = jnp.take(skeys, jnp.minimum(first_pos, n - 1))
+    if agg in ("min", "max"):
+        table = group_aggregate_direct(group_id, svals,
+                                       num_groups=num_groups, agg=agg)
+        first_pos = jnp.full((num_groups,), n, jnp.int32).at[group_id].min(
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0), mode="drop")
+        group_keys = jnp.take(skeys, jnp.minimum(first_pos, n - 1))
+        return group_keys, table, count
+
+    # end of group g = position before the next is_new (or the last row)
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), jnp.bool_)])
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # compact end positions to the front, in order (stable sort by ~is_end)
+    ends = jax.lax.sort([jnp.logical_not(is_end).astype(jnp.int32), pos],
+                        num_keys=1, is_stable=True)[1]
+    ends = ends[:num_groups] if n >= num_groups else jnp.pad(
+        ends, (0, num_groups - n), constant_values=n - 1)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
+    ends = jnp.where(valid, ends, n - 1)
+
+    if agg == "count":
+        vacc = jnp.cumsum(jnp.ones((n,), jnp.int32))
+    else:
+        vacc = jnp.cumsum(svals)
+    end_acc = jnp.take(vacc, ends)
+    prev_acc = jnp.concatenate([jnp.zeros((1,), end_acc.dtype),
+                                end_acc[:-1]])
+    table = jnp.where(valid, end_acc - prev_acc,
+                      jnp.zeros((), end_acc.dtype))
+    group_keys = jnp.take(skeys, ends)
+    if agg == "mean":
+        cnt_acc = jnp.take(jnp.cumsum(jnp.ones((n,), jnp.int32)), ends)
+        prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                    cnt_acc[:-1]])
+        cnts = jnp.maximum(cnt_acc - prev_cnt, 1)
+        table = table / cnts.astype(table.dtype)
     return group_keys, table, count
