@@ -132,15 +132,28 @@ class Sorter:
         if not self.spec.ascending:
             limbs = [~l for l in limbs]  # complement reverses unsigned order
 
-        direct = (values is None and self._key_fn is None
-                  and len(limbs) == 1)
-        if direct:
+        def restore_keys(sorted_limbs):
+            if not self.spec.ascending:
+                sorted_limbs = [~l for l in sorted_limbs]
+            return keymod.from_limbs(list(sorted_limbs),
+                                     self.spec.elem_dtype)
+
+        if values is None and self._key_fn is None and len(limbs) == 1:
             sorted_limbs, _ = self._limb_sorter(tuple(limbs), None)
-            out = keymod.from_limbs(
-                [~sorted_limbs[0]] if not self.spec.ascending
-                else [sorted_limbs[0]],
-                self.spec.elem_dtype)
-            return out
+            return restore_keys(sorted_limbs)
+
+        # 4-byte values with the identity key ride the sort directly as the
+        # payload — two random n-gathers (perm apply) cost more than the
+        # whole sort on TPU.
+        vdt = jnp.dtype(values.dtype) if values is not None else None
+        if (values is not None and self._key_fn is None
+                and vdt.itemsize == 4):
+            pay = (values if vdt == jnp.int32
+                   else jax.lax.bitcast_convert_type(values, jnp.int32))
+            sorted_limbs, spay = self._limb_sorter(tuple(limbs), pay)
+            svals = (spay if vdt == jnp.int32
+                     else jax.lax.bitcast_convert_type(spay, vdt))
+            return restore_keys(sorted_limbs), svals
 
         n = data.shape[0]
         payload = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)

@@ -39,8 +39,11 @@ def _make_gselect_sorter(spec, options):
     def fn(limbs, payload):
         n = limbs[0].shape[0]
         idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        tiebreak = payload if payload is not None else idx
-        keys = tuple(limbs) + (tiebreak,)
+        # ALWAYS tiebreak on the row index: it keeps ranks unique (the
+        # scatter below would silently drop rows on rank collisions) and
+        # realizes the stable `(key_i == key_g) && (i < g)` comparison
+        # (clo_sort_gselect.cl:51). The payload rides along, unordered.
+        keys = tuple(limbs) + (idx,)
 
         c = min(chunk, n)
         n_chunks = cdiv(n, c)
@@ -61,10 +64,11 @@ def _make_gselect_sorter(spec, options):
 
         rank = jax.lax.fori_loop(0, n_chunks, body,
                                  jnp.zeros((n,), jnp.int32))
+        routed = tuple(limbs) + ((payload,) if payload is not None else ())
         out = tuple(
             jnp.zeros_like(a).at[rank].set(a, unique_indices=True,
                                            mode="promise_in_bounds")
-            for a in keys)
+            for a in routed)
         out_limbs = out[:len(limbs)]
         out_payload = out[len(limbs)] if payload is not None else None
         return out_limbs, out_payload

@@ -156,3 +156,28 @@ def test_bad_args():
     s = sort_mod.sort_new("xla")
     with pytest.raises(CloOpsError):
         s.sort_with_device_data(np.zeros((2, 2), np.uint32))
+
+
+@pytest.mark.parametrize("impl", ["abitonic", "satradix", "gselect", "xla"])
+def test_sort_key_value_duplicates(impl):
+    """Duplicate (key, value) PAIRS must not lose rows (the direct value
+    payload rides the sort; ranks/exchanges must stay collision-free)."""
+    x = np.array([5, 1, 5, 1, 5, 1] * 100, np.uint32)
+    vals = np.array([9, 9, 9, 9, 7, 7] * 100, np.int32)
+    s = sort_mod.sort_new(impl, SMALL_OPTS[impl])
+    out, vout = s.sort_with_host_data(x, vals)
+    np.testing.assert_array_equal(out, np.sort(x))
+    # multiset of (key, value) pairs preserved
+    got = sorted(zip(out.tolist(), vout.tolist()))
+    expect = sorted(zip(x.tolist(), vals.tolist()))
+    assert got == expect
+
+
+def test_sort_key_value_float_values():
+    x = np.random.RandomState(2).randint(0, 100, size=512).astype(np.uint32)
+    vals = np.random.RandomState(3).randn(512).astype(np.float32)
+    s = sort_mod.sort_new("abitonic", SMALL_OPTS["abitonic"])
+    out, vout = s.sort_with_host_data(x, vals)
+    got = sorted(zip(out.tolist(), vout.tolist()))
+    expect = sorted(zip(x.tolist(), vals.tolist()))
+    assert got == expect
