@@ -171,48 +171,37 @@ def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc):
 
 
 def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
-                 static_rows: bool = True):
+                 unroll_lanes: bool = True):
     """All steps J = start_j .. 1 under one direction mask.
 
-    Row steps (J >= 128): static unroll with the grouped half-block
-    exchange (fast at runtime, ~3x fewer VPU ops) when static_rows, else a
-    fori_loop of dynamic rotates (3x smaller MLIR — the full block-sort
-    kernel with static rows costs ~6 min of Mosaic compile vs ~2). Lane
-    steps always run in a fori_loop with traced gather distances.
-    group_asc(j_rows, g) -> (g,1,1) ascending mask for the static path.
+    Row steps (J >= 128) use the grouped half-block exchange (static). Lane
+    steps (J <= 64): static seven-step unroll for compiled TPU kernels — a
+    fori_loop's induction variable is i64 under x64 with concrete bounds
+    (infinite recursion in Mosaic's convert lowering) and traced i32 bounds
+    force slow dynamic while_loops. Interpret mode (CPU tests) keeps the
+    fori_loop instead: per-test tracing of the full unroll dominates the
+    suite, and CPU has no Mosaic to offend.
     """
+    if group_asc is None:
+        raise ValueError("row steps need an explicit group_asc")
     j = start_j
-    if static_rows:
-        if group_asc is None:
-            raise ValueError("static row steps need an explicit group_asc")
-        while j >= LANES:
-            jr = j // LANES
-            arrs = _cx_rows_grouped(
-                arrs, jr, lambda g, _jr=jr: group_asc(_jr, g))
+    while j >= LANES:
+        jr = j // LANES
+        arrs = _cx_rows_grouped(
+            arrs, jr, lambda g, _jr=jr: group_asc(_jr, g))
+        j //= 2
+    if unroll_lanes:
+        while j >= 1:
+            arrs = _cx_lanes_dyn(arrs, asc_mask, j)
             j //= 2
-    elif j >= LANES:
-        row_hi = log2_floor(j // LANES)
-
-        def row_body(m, a):
-            # m arrives as i64 under x64; i64 poisons Mosaic lowering
-            j_rows = jnp.int32(1) << (jnp.int32(row_hi) - m.astype(jnp.int32))
-            return _cx_rows_dyn(a, asc_mask, j_rows)
-
-        # np.int32 bounds: concrete (static trip count — traced jnp bounds
-        # force a dynamic while_loop and ~15x slower Mosaic compiles) yet
-        # i32-typed (python ints give an i64 induction variable under x64,
-        # which sends Mosaic's convert lowering into infinite recursion).
-        arrs = jax.lax.fori_loop(np.int32(0), np.int32(row_hi + 1),
-                                 row_body, arrs)
-        j = LANES // 2
+        return arrs
     lane_hi = log2_floor(max(j, 1))
 
     def lane_body(m, a):
         jj = jnp.int32(1) << (jnp.int32(lane_hi) - m.astype(jnp.int32))
         return _cx_lanes_dyn(a, asc_mask, jj)
 
-    return jax.lax.fori_loop(np.int32(0), np.int32(lane_hi + 1),
-                             lane_body, arrs)
+    return jax.lax.fori_loop(0, lane_hi + 1, lane_body, arrs)
 
 
 def _stage_group_asc(k: int):
@@ -230,7 +219,8 @@ def _scalar_group_asc(asc_scalar):
     return fn
 
 
-def _local_sort_block(arrs: tuple, final_asc=None):
+def _local_sort_block(arrs: tuple, final_asc=None,
+                      unroll_lanes: bool = True):
     """Full bitonic sort of one (R,128) block (stages K=2..R*128).
 
     The direction of the final stage (K = block size) is the GLOBAL index
@@ -250,26 +240,30 @@ def _local_sort_block(arrs: tuple, final_asc=None):
                 _flat_bit(arrs[0].shape, k // LANES if k >= LANES else k,
                           k >= LANES))
             ga = _stage_group_asc(k)
-        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga)
+        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga,
+                            unroll_lanes=unroll_lanes)
     return arrs
 
 
 # --- kernels -----------------------------------------------------------------
 
-def _block_sort_kernel(*refs, n_arrays: int, multi_block: bool):
+def _block_sort_kernel(*refs, n_arrays: int, multi_block: bool,
+                       unroll_lanes: bool = True):
     ins, outs = refs[:n_arrays], refs[n_arrays:]
     arrs = tuple(r[...] for r in ins)
     if multi_block:
         # Alternate block directions: stage K = B's direction bit is the
         # block-index LSB (the bitonic precondition for the K = 2B merge).
-        arrs = _local_sort_block(arrs, final_asc=(pl.program_id(0) & 1) == 0)
+        arrs = _local_sort_block(arrs, final_asc=(pl.program_id(0) & 1) == 0,
+                                 unroll_lanes=unroll_lanes)
     else:
-        arrs = _local_sort_block(arrs)
+        arrs = _local_sort_block(arrs, unroll_lanes=unroll_lanes)
     for o, a in zip(outs, arrs):
         o[...] = a
 
 
-def _block_merge_kernel(params_ref, *refs, n_arrays: int):
+def _block_merge_kernel(params_ref, *refs, n_arrays: int,
+                        unroll_lanes: bool = True):
     """Fused local merge: all steps J = B/2..1 of one stage K > B.
 
     Direction is uniform per block: asc = (block_index & k_blocks) == 0
@@ -283,7 +277,8 @@ def _block_merge_kernel(params_ref, *refs, n_arrays: int):
     asc = jnp.full(shape, True) & asc_scalar
     arrs = tuple(r[...] for r in ins)
     arrs = _local_steps(arrs, asc, shape[0] * LANES // 2,
-                        group_asc=_scalar_group_asc(asc_scalar))
+                        group_asc=_scalar_group_asc(asc_scalar),
+                        unroll_lanes=unroll_lanes)
     for o, a in zip(outs, arrs):
         o[...] = a
 
@@ -391,7 +386,8 @@ def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret):
         out_specs=tuple(_specs(n_arrays, block_rows)),
     )
     out = pl.pallas_call(
-        functools.partial(_block_merge_kernel, n_arrays=n_arrays),
+        functools.partial(_block_merge_kernel, n_arrays=n_arrays,
+                          unroll_lanes=not interpret),
         grid_spec=grid_spec,
         out_shape=shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -464,7 +460,7 @@ def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
 
 
 def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
-                        multi_block: bool):
+                        multi_block: bool, unroll_lanes: bool = True):
     """Fused run of ALL bitonic stages K = start_k .. block size.
 
     Used as a second tier above _block_sort_kernel: a bigger VMEM block
@@ -491,7 +487,8 @@ def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
                 _flat_bit(shape, k // LANES if k >= LANES else k,
                           k >= LANES))
             ga = _stage_group_asc(k)
-        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga)
+        arrs = _local_steps(arrs, asc, k // 2, group_asc=ga,
+                            unroll_lanes=unroll_lanes)
         k *= 2
     for o, a in zip(outs, arrs):
         o[...] = a
@@ -515,14 +512,16 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
     if fused:
         arrs2d = _call_per_block(_block_sort_kernel, arrs2d, n_blocks,
                                  block_rows, interpret,
-                                 multi_block=n_blocks > 1)
+                                 multi_block=n_blocks > 1,
+                                 unroll_lanes=not interpret)
         mr = min(merge_rows or block_rows, total_rows)
         assert is_po2(mr) and mr >= block_rows
         if mr > block_rows:
             n2 = total_rows // mr
             arrs2d = _call_per_block(
                 _multi_stage_kernel, arrs2d, n2, mr, interpret,
-                start_k=2 * block_elems, multi_block=n2 > 1)
+                start_k=2 * block_elems, multi_block=n2 > 1,
+                unroll_lanes=not interpret)
         else:
             n2 = n_blocks
         merge_elems = mr * LANES
