@@ -27,13 +27,21 @@ def rand_array(dtype, n: int, seed: int = 0) -> np.ndarray:
     """
     rng = np.random.RandomState(seed)
     dt = np.dtype(dtype)
+    if dt.kind in "ui" and dt.itemsize == 8:
+        # Compose 64-bit draws from two 32-bit halves: a single randint is
+        # capped below 2^63, which would never set the top bit of u64 data
+        # (leaving the high-limb sign-flip path untested/unbenchmarked).
+        lo = rng.randint(0, 2 ** 32, size=n, dtype=np.uint64)
+        hi = rng.randint(0, 2 ** 32, size=n, dtype=np.uint64)
+        return (lo | (hi << np.uint64(32))).view(np.uint64).astype(dt) \
+            if dt.kind == "u" else (lo | (hi << np.uint64(32))).view(np.int64)
     if dt.kind == "u":
         bits = 8 * dt.itemsize
-        return rng.randint(0, 2 ** min(bits, 63), size=n,
+        return rng.randint(0, 2 ** bits, size=n,
                            dtype=np.uint64).astype(dt)
     if dt.kind == "i":
         lim = 2 ** (8 * dt.itemsize - 1)
-        return rng.randint(-lim, lim - 1, size=n, dtype=np.int64).astype(dt)
+        return rng.randint(-lim, lim, size=n, dtype=np.int64).astype(dt)
     return (rng.randn(n) * 128).astype(dt)
 
 

@@ -58,6 +58,12 @@ def main(argv=None):
                         hash_name=args.hash_name
                         if args.seed_type == "dev_gid" else None)
 
+    if args.max_int is not None and not 0 <= args.max_int < 2**32 - 1:
+        # 2**32-1 would wrap the u32 modulus to 0 (clo_rng_bench draws are
+        # 32-bit); reject instead of silently wrapping.
+        print("--max-int must be in [0, 2**32-2]", file=sys.stderr)
+        return 1
+
     def post(vals):
         if args.max_int is not None:
             return vals % np.uint32(args.max_int + 1)

@@ -72,9 +72,14 @@ def main(argv=None):
         else:
             out = fn(*fargs)
             out = out[0] if isinstance(out, tuple) else out
-            ok = bool(np.all(np.diff(np.asarray(out)) >= 0)) \
-                if sorter.elem_dtype.kind != "f" else bool(
-                    np.all(np.diff(np.asarray(out)) >= 0))
+            outh = np.asarray(out)
+            if sorter.elem_dtype.kind == "f":
+                # NaN-aware: sorted floats must equal np.sort bit-for-bit
+                # modulo NaN position (keys.py orders NaN high, like np.sort).
+                ref = np.sort(host)
+                ok = bool(np.array_equal(outh, ref, equal_nan=True))
+            else:
+                ok = bool(np.all(np.diff(outh) >= 0))
             check = "ok" if ok else "FAILED"
         print(f"{n:>12} {mkeys:>12.1f} {secs / args.runs * 1e3:>10.2f}  "
               f"{check}")

@@ -26,6 +26,7 @@ class ErrorCode(enum.IntEnum):
     BAD_DTYPE = 100
     BAD_SHAPE = 101
     SHARDING = 102
+    IMPL_DUPLICATE = 103
 
 
 class CloOpsError(Exception):

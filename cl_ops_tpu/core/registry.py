@@ -31,7 +31,7 @@ class Registry(Generic[T]):
             if name in self._impls:
                 raise CloOpsError(
                     f"{self._kind} implementation {name!r} already registered",
-                    ErrorCode.IMPL_NOT_FOUND)
+                    ErrorCode.IMPL_DUPLICATE)
             self._impls[name] = factory
             return factory
         return deco

@@ -82,7 +82,8 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "agg"))
-def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str):
+def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
+                     n_valid=None):
     """Scatter-free segmented reduce over key-sorted rows.
 
     sum/count/mean: group totals are differences of the running cumsum at
@@ -91,24 +92,41 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str):
     scatter-add on TPU is element-serialized (~2 Mrows/s measured), while
     this path is sort/cumsum/gather only. min/max fall back to scatter
     (no cumsum-diff identity) — prefer sum-type aggregations at scale.
+
+    n_valid: optional traced count of valid rows. When given, rows at
+    positions >= n_valid are ignored entirely (callers sort with the
+    inverted valid mask as primary key so valid rows form a prefix) —
+    validity never has to be encoded in key space, so any key value,
+    including the dtype's extremes, aggregates correctly.
     """
     n = skeys.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    if n_valid is None:
+        valid = jnp.ones((n,), jnp.bool_)
+    else:
+        valid = pos < n_valid
     prev = jnp.concatenate([skeys[:1], skeys[:-1]])
-    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                              (skeys != prev)[1:]])
+    is_new = valid & jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                      (skeys != prev)[1:]])
     group_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     count = group_id[-1] + 1
     if agg in ("min", "max"):
-        table = group_aggregate_direct(group_id, svals,
+        gid_scatter = jnp.where(valid, group_id, num_groups)  # drop invalid
+        table = group_aggregate_direct(gid_scatter, svals,
                                        num_groups=num_groups, agg=agg)
-        first_pos = jnp.full((num_groups,), n, jnp.int32).at[group_id].min(
-            jax.lax.broadcasted_iota(jnp.int32, (n,), 0), mode="drop")
+        first_pos = jnp.full((num_groups,), n, jnp.int32).at[gid_scatter].min(
+            pos, mode="drop")
         group_keys = jnp.take(skeys, jnp.minimum(first_pos, n - 1))
         return group_keys, table, count
 
-    # end of group g = position before the next is_new (or the last row)
-    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), jnp.bool_)])
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # end of group g = position before the next is_new / first invalid row
+    # (or the last row)
+    ones1 = jnp.ones((1,), jnp.bool_)
+    next_is_new = jnp.concatenate([is_new[1:], ones1])
+    next_invalid = jnp.concatenate([jnp.logical_not(valid)[1:], ones1])
+    is_end = valid & (next_is_new | next_invalid)
+    if n_valid is not None:
+        svals = jnp.where(valid, svals, jnp.zeros((), svals.dtype))
     # compact end positions to the front, in order (stable sort by ~is_end)
     ends = jax.lax.sort([jnp.logical_not(is_end).astype(jnp.int32), pos],
                         num_keys=1, is_stable=True)[1]
@@ -117,8 +135,9 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str):
     valid = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
     ends = jnp.where(valid, ends, n - 1)
 
+    valid_i32 = valid.astype(jnp.int32)
     if agg == "count":
-        vacc = jnp.cumsum(jnp.ones((n,), jnp.int32))
+        vacc = jnp.cumsum(valid_i32)
     else:
         vacc = jnp.cumsum(svals)
     end_acc = jnp.take(vacc, ends)
@@ -128,7 +147,7 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str):
                       jnp.zeros((), end_acc.dtype))
     group_keys = jnp.take(skeys, ends)
     if agg == "mean":
-        cnt_acc = jnp.take(jnp.cumsum(jnp.ones((n,), jnp.int32)), ends)
+        cnt_acc = jnp.take(jnp.cumsum(valid_i32), ends)
         prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                     cnt_acc[:-1]])
         cnts = jnp.maximum(cnt_acc - prev_cnt, 1)

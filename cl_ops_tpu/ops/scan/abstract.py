@@ -103,8 +103,10 @@ def scan_new(name: str = "blelloch",
     """Create a scanner by name (parity: clo_scan_new, clo_scan_abstract.c:74).
 
     Args:
-      name: implementation name ("blelloch" — single-pass Pallas grid-carry
-        kernel; "xla" — pure-XLA cumsum).
+      name: implementation name ("blelloch" — 3-phase Pallas scan: XLA
+        block sums + tiny cumsum + one base-fed Pallas block-scan kernel,
+        mirroring the reference's 3-kernel structure; "xla" — pure-XLA
+        cumsum).
       options: reference-style option string or dict (e.g. "block_rows=256").
       elem_dtype: input element type (OpenCL-style name or dtype).
       sum_dtype: accumulator/output type; defaults to the widening rule
@@ -114,7 +116,7 @@ def scan_new(name: str = "blelloch",
     return Scan(impl, elem_dtype, sum_dtype, parse_options(options))
 
 
-# --- blelloch: the Pallas single-pass grid-carry kernel ----------------------
+# --- blelloch: 3-phase base-fed Pallas scan ----------------------------------
 
 def _blelloch_make_fn(elem_dtype, sum_dtype, options):
     block_rows = int(options.get("block_rows", 512))
@@ -128,14 +130,21 @@ def _blelloch_make_fn(elem_dtype, sum_dtype, options):
 
 def _blelloch_vmem(kernel_name, numel, options):
     block_rows = int(options.get("block_rows", 512))
-    # in block + out block resident per grid step (carry lives in SMEM).
+    if kernel_name != "block_scan_base_add":
+        return 0  # XLA phases: no Pallas VMEM blocks of our choosing
+    # in block + out block resident per grid step (bases ride scalar
+    # prefetch, not VMEM).
     return block_rows * kernels.LANES * 2 * 8
 
 
+# Introspection mirrors the reference's 3-kernel structure
+# (workgroupScan / workgroupSumsScan / addWorkgroupSums,
+# clo_scan_blelloch.cl:49-211): phases 1-2 are XLA here, phase 3 is the
+# Pallas kernel that fuses the block scan with the base add.
 scan_impls.register("blelloch")(lambda: ScanImplDef(
     name="blelloch",
     make_fn=_blelloch_make_fn,
-    kernel_names=("grid_carry_scan",),
+    kernel_names=("block_sums", "block_sums_scan", "block_scan_base_add"),
     vmem_usage=_blelloch_vmem,
 ))
 

@@ -47,19 +47,16 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
         valid = (slot < c[:, None]).reshape(-1)
         kf = kl.reshape(-1)
         vf = vl.reshape(-1)
-        # Invalid slots: key -> all-ones sentinel. It sorts last, forms its
-        # own (dropped) group, so garbage values never touch real groups.
-        sentinel = (jnp.asarray(2**32 - 1, kf.dtype)
-            if jnp.dtype(kf.dtype) == jnp.uint32
-            else jnp.asarray(-1, kf.dtype))
-        kf = jnp.where(valid, kf, sentinel)
-        sk, sv = jax.lax.sort([kf, vf], num_keys=1)
+        # Sort with the INVERTED valid mask as primary key: valid rows form
+        # a key-sorted prefix, invalid rows trail. Validity never enters key
+        # space, so any real key value (incl. dtype extremes) aggregates
+        # correctly; _boundary_reduce ignores rows past n_valid.
+        inv = jnp.logical_not(valid).astype(jnp.int32)
+        _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=2)
+        n_valid = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)
         from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce
         gkeys, table, cnt = _boundary_reduce(sk, sv, num_groups=num_groups,
-                                             agg=agg)
-        # Drop the sentinel group if any invalid slots existed.
-        has_pad = jnp.any(jnp.logical_not(valid))
-        cnt = cnt - has_pad.astype(cnt.dtype)
+                                             agg=agg, n_valid=n_valid)
         return gkeys, table, cnt.reshape(1)
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),

@@ -69,16 +69,22 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
         slot_p = jax.lax.broadcasted_iota(jnp.int32, pkl.shape, 1)
         valid_p = slot_p < pc[:, None]
 
-        # build a sorted local dim table; invalid slots get a sentinel key
-        # that cannot equal a real probe (max u32 also flagged via valid).
-        sent = (jnp.asarray(2**32 - 1, bkl.dtype)
-        if jnp.dtype(bkl.dtype) == jnp.uint32
-        else jnp.asarray(-1, bkl.dtype))
-        bkey = jnp.where(valid_b, bkl, sent).reshape(-1)
-        order = jnp.argsort(bkey)
-        skey = jnp.take(bkey, order)
-        sval = jnp.take(bvl.reshape(-1), order)
-        svalid = jnp.take(valid_b.reshape(-1), order)
+        # Build a sorted local dim table with validity as the PRIMARY sort
+        # key (invalid slots last) — validity never enters key space, so a
+        # real key equal to the dtype max still joins correctly. For
+        # searchsorted the trailing invalid slots then take the dtype max
+        # (keeps the array monotone); the svalid flag disambiguates probes
+        # whose key happens to equal that fill.
+        inv_b = jnp.logical_not(valid_b).astype(jnp.int32).reshape(-1)
+        _, skey, sval, svalid_i = jax.lax.sort(
+            [inv_b, bkl.reshape(-1), bvl.reshape(-1),
+             valid_b.astype(jnp.int32).reshape(-1)], num_keys=2)
+        svalid = svalid_i > 0
+        kdt = jnp.dtype(skey.dtype)
+        maxk = (jnp.asarray(jnp.iinfo(kdt).max, kdt)
+                if jnp.issubdtype(kdt, jnp.integer)
+                else jnp.asarray(jnp.inf, kdt))
+        skey = jnp.where(svalid, skey, maxk)
 
         pkey = pkl.reshape(-1)
         idx = jnp.searchsorted(skey, pkey)

@@ -67,12 +67,15 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
     """Sample sort across the mesh: splitters -> range exchange -> local sort.
 
     The scalable alternative to the hypercube bitonic dist_sort: one
-    all_to_all instead of log^2(P) ppermute rounds. Returns per-chip
-    (counts, sorted_buffer): chip c holds counts[c].sum() valid rows sorted
-    ascending at the front of its (n_chips*capacity) buffer, and all of
-    chip c's keys precede chip c+1's. capacity_factor sizes the per-bucket
-    headroom over the uniform share (skew beyond the sample's resolution
-    drops rows — check the dropped counter).
+    all_to_all instead of log^2(P) ppermute rounds.
+
+    Returns (totals, sorted_buf, dropped), all row-sharded per chip:
+    chip c holds totals[c] valid rows sorted ascending at the front of its
+    (n_chips*capacity)-long slice of sorted_buf (entries past totals[c] are
+    unspecified), and all of chip c's keys precede chip c+1's.
+    capacity_factor sizes the per-bucket headroom over the uniform share;
+    skew beyond the sample's resolution drops rows — check the `dropped`
+    counter per chip.
     """
     n_chips = mesh.shape[axis]
     n = x.shape[0]
@@ -88,11 +91,11 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
         b = b.reshape(n_chips, capacity)
         slot = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
         valid = (slot < c[:, None]).reshape(-1)
-        sent = (jnp.asarray(2**32 - 1, b.dtype)
-                if jnp.dtype(b.dtype) == jnp.uint32
-                else jnp.asarray(-1, b.dtype))
-        kf = jnp.where(valid, b.reshape(-1), sent)
-        sk = jax.lax.sort([kf], num_keys=1)[0]
+        # Validity as primary sort key (not a key-space sentinel): valid
+        # rows form the sorted prefix for ANY key dtype/value; the trailing
+        # invalid slots are unspecified.
+        inv = jnp.logical_not(valid).astype(jnp.int32)
+        _, sk = jax.lax.sort([inv, b.reshape(-1)], num_keys=2)
         total = jnp.sum(c, dtype=jnp.int32)
         return sk, total.reshape(1)
 

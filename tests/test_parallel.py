@@ -199,3 +199,62 @@ def test_dist_sort_sample(mesh8):
     buf = np.asarray(buf).reshape(8, -1)
     got = np.concatenate([buf[c, :totals[c]] for c in range(8)])
     np.testing.assert_array_equal(got, np.sort(x))
+
+def test_dist_group_aggregate_extreme_keys(mesh8):
+    """Regression: validity was a key-space sentinel; -1 / 0xFFFFFFFF keys
+    must aggregate correctly even with partially-filled shuffle buckets."""
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    import jax.numpy as jnp
+    rng = np.random.RandomState(32)
+    n = 8 * 256
+    for dt, keyset in ((np.int32, (-1, -5, 3, 7)),
+                       (np.uint32, (0xFFFFFFFF, 1, 2))):
+        keys = rng.choice(np.array(keyset, dt), size=n)
+        vals = rng.randint(1, 10, size=n).astype(np.int32)
+        gk, table, cnt = dist_group_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), mesh8,
+            num_groups=64, capacity=n, agg="sum")
+        gk = np.asarray(gk).reshape(8, 64)
+        table = np.asarray(table).reshape(8, 64)
+        cnt = np.asarray(cnt).reshape(8)
+        got = {}
+        for c in range(8):
+            for i in range(cnt[c]):
+                got[int(gk[c, i])] = int(table[c, i])
+        expect = {int(k): int(vals[keys == k].sum()) for k in np.unique(keys)}
+        assert got == expect, dt
+
+
+def test_dist_hash_join_max_key(mesh8):
+    """Regression: a real key equal to the old -1 sentinel must join."""
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    rng = np.random.RandomState(33)
+    dim_keys = np.array([0xFFFFFFFF, 1, 2, 3, 4, 5, 6, 7], np.uint32)
+    dim_vals = np.arange(8, dtype=np.uint32) + 100
+    fact = rng.choice(np.array([0xFFFFFFFF, 1, 2, 9], np.uint32), size=8 * 8)
+    found, vals = dist_hash_join(
+        jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(fact),
+        mesh8, capacity_build=8, capacity_probe=len(fact))
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(fact, dim_keys)
+    np.testing.assert_array_equal(found, expect)
+    lut = {int(k): int(v) for k, v in zip(dim_keys, dim_vals)}
+    for i in np.nonzero(expect)[0]:
+        assert int(vals[i]) == lut[int(fact[i])]
+
+
+def test_dist_sort_sample_signed_keys(mesh8):
+    """Regression: signed keys (-1 sorts mid-array) with the old key-space
+    pad sentinel corrupted the sorted prefix."""
+    from cl_ops_tpu.parallel.splitters import dist_sort_sample
+    import jax.numpy as jnp
+    rng = np.random.RandomState(42)
+    x = rng.randint(-(1 << 20), 1 << 20, size=8 * 512).astype(np.int32)
+    totals, buf, dropped = dist_sort_sample(jnp.asarray(x), mesh8,
+                                            capacity_factor=4.0)
+    assert int(np.asarray(dropped).sum()) == 0
+    totals = np.asarray(totals).reshape(8)
+    buf = np.asarray(buf).reshape(8, -1)
+    got = np.concatenate([buf[c, :totals[c]] for c in range(8)])
+    np.testing.assert_array_equal(got, np.sort(x))

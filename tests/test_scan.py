@@ -86,9 +86,10 @@ def test_default_sum_widening():
 
 def test_introspection():
     s = scan_mod.scan_new("blelloch")
-    assert s.num_kernels == 1
-    assert s.kernel_name(0) == "grid_carry_scan"
-    assert s.vmem_usage("grid_carry_scan", 1 << 20) > 0
+    assert s.num_kernels == 3
+    assert s.kernel_name(2) == "block_scan_base_add"
+    assert s.vmem_usage("block_scan_base_add", 1 << 20) > 0
+    assert s.vmem_usage("block_sums", 1 << 20) == 0
     assert "blelloch" in scan_mod.scan_names()
     assert "xla" in scan_mod.scan_names()
 

@@ -25,12 +25,19 @@ SMALL_OPTS = {
 def _rand(dt, n, seed):
     rng = np.random.RandomState(seed)
     dt = np.dtype(dt)
+    if dt.kind in "ui" and dt.itemsize == 8:
+        # full-range 64-bit draws (top bit set half the time) so the
+        # high-limb sign-flip path is really exercised
+        lo = rng.randint(0, 2 ** 32, size=n, dtype=np.uint64)
+        hi = rng.randint(0, 2 ** 32, size=n, dtype=np.uint64)
+        w = lo | (hi << np.uint64(32))
+        return w.astype(dt) if dt.kind == "u" else w.view(np.int64)
     if dt.kind == "u":
-        return rng.randint(0, min(2 ** (8 * dt.itemsize), 2**63),
+        return rng.randint(0, 2 ** (8 * dt.itemsize),
                            size=n, dtype=np.uint64).astype(dt)
     if dt.kind == "i":
         lim = 2 ** (8 * dt.itemsize - 1)
-        return rng.randint(-lim, lim - 1, size=n,
+        return rng.randint(-lim, lim, size=n,
                            dtype=np.int64).astype(dt)
     return (rng.randn(n) * 100).astype(dt)
 
