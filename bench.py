@@ -55,12 +55,23 @@ def main():
 
     dt_xla, _ = timed(jax.jit(jnp.sort))
 
+    # Roofline accounting (VERDICT r1 item 4): model the schedule's HBM
+    # traffic, report achieved GB/s and fraction of the measured ceiling.
+    from cl_ops_tpu.bench.roofline import stream_ceiling_gbs
+    from cl_ops_tpu.ops.sort.bitonic import abitonic_traffic_bytes
+    bytes_moved = abitonic_traffic_bytes(n, 1)
+    gb_s = bytes_moved / dt_ours / 1e9
+    ceiling = stream_ceiling_gbs()
+
     mkeys = n / dt_ours / 1e6
     print(json.dumps({
         "metric": "abitonic_sort_u32_16M",
         "value": round(mkeys, 1),
         "unit": "Mkeys/s",
         "vs_baseline": round(dt_xla / dt_ours, 4),
+        "gb_s": round(gb_s, 2),
+        "roofline_frac": round(gb_s / ceiling, 3),
+        "ceiling_gb_s": round(ceiling, 2),
     }))
     return 0
 

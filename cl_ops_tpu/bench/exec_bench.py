@@ -30,6 +30,9 @@ def build_parser():
                    help="Zipf exponent for join probe keys (0 = uniform)")
     p.add_argument("-s", "--rng-seed", type=int, default=0)
     p.add_argument("--no-check", action="store_true")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the XLA (lax.sort) baseline paths instead of "
+                        "the Pallas bitonic")
     return p
 
 
@@ -58,7 +61,8 @@ def main(argv=None):
         # one predicate object: filter_compact jit-caches on its identity —
         # a fresh lambda per call would retrace (and remote-recompile) every
         # iteration
-        fn = lambda v: ex.filter_compact(v, pred)  # noqa: E731
+        up = not args.no_pallas
+        fn = lambda v: ex.filter_compact(v, pred, use_pallas=up)  # noqa: E731
         secs = common.time_async(fn, (x,), args.runs, sync)
         if not args.no_check:
             count, packed = fn(x)
@@ -70,12 +74,11 @@ def main(argv=None):
         keys = jnp.asarray(rng.randint(0, args.groups, size=n)
                            .astype(np.uint32))
         vals = jnp.asarray(rng.randint(0, 100, size=n).astype(np.int32))
-        from cl_ops_tpu.ops.sort import sort_new
-        sorter = sort_new("abitonic", elem_dtype="uint")
+        up = not args.no_pallas
 
         def fn(k, v):
             return ex.group_aggregate_sorted(k, v, num_groups=args.groups,
-                                             sorter=sorter)
+                                             use_pallas=up)
         secs = common.time_async(fn, (keys, vals), args.runs, sync)
         if not args.no_check:
             gk, table, cnt = fn(keys, vals)
@@ -99,7 +102,9 @@ def main(argv=None):
         from cl_ops_tpu.ops.sort import sort_new
         sorter = sort_new("xla", elem_dtype="uint")
         sdk, sdv = sorter.sort_with_device_data(dk, dv)
-        fn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
+        up = not args.no_pallas
+        fn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True,  # noqa
+                                    use_pallas=up)
         secs = common.time_async(fn, (pk,), args.runs, sync)
         if not args.no_check:
             found, vals = fn(pk)
@@ -110,8 +115,27 @@ def main(argv=None):
                 assert v[i] == probe[i] * 7 + 1
 
     mrows = common.throughput_m(n, args.runs, secs)
+    extra = ""
+    if not args.no_pallas:
+        # bytes-moved model: sum of the composed Pallas sort schedules plus
+        # the elementwise/cumsum passes (see bench/roofline.py)
+        from cl_ops_tpu.bench.roofline import roofline_row
+        from cl_ops_tpu.ops.exec import psort
+        if args.op == "filter":
+            bytes_moved = 4 * n + psort.sort_traffic_bytes(n, 2)
+        elif args.op == "aggregate":
+            bytes_moved = (psort.sort_traffic_bytes(n, 2)   # (key,val) sort
+                           + 6 * 4 * n                       # flags + cumsum
+                           + psort.sort_traffic_bytes(n, 1))  # ends compact
+        else:  # join probe: two merge-space sorts + the restore sort
+            nt = n + (1 << args.dim_log2)
+            bytes_moved = (2 * psort.sort_traffic_bytes(nt, 2)
+                           + psort.sort_traffic_bytes(n, 2) + 6 * 4 * n)
+        rr = roofline_row(bytes_moved, secs / args.runs)
+        extra = (f"  [{rr['gb_s']:.1f} GB/s, "
+                 f"{rr['roofline_frac']:.2f} of ceiling]")
     print(f"{args.op}: {n} rows x {args.runs} runs -> {mrows:.1f} Mrows/s "
-          f"({secs / args.runs * 1e3:.2f} ms/run)")
+          f"({secs / args.runs * 1e3:.2f} ms/run){extra}")
     return 0
 
 

@@ -46,10 +46,19 @@ def main(argv=None):
                           elem_dtype=args.elem_type,
                           sum_dtype=args.sum_type)
     sync = common.default_sync()
+    traffic = None
+    if args.algorithm in ("blelloch", "lookback"):
+        from cl_ops_tpu.core.registry import parse_options
+        from cl_ops_tpu.ops.scan.kernels import scan_traffic_bytes
+        br = int(parse_options(args.alg_options).get("block_rows", 512))
+        traffic = lambda nn: scan_traffic_bytes(  # noqa: E731
+            nn, s.elem_dtype, s.sum_dtype, br,
+            single_pass=args.algorithm == "lookback")
     rows = []
     print(f"# algorithm: {args.algorithm}  type: {args.elem_type} -> "
           f"{s.sum_dtype}  runs: {args.runs}")
-    print(f"{'N':>12} {'MValues/s':>12} {'ms/run':>10}  check")
+    print(f"{'N':>12} {'MValues/s':>12} {'ms/run':>10} {'GB/s':>8} "
+          f"{'roof':>6}  check")
     rng = np.random.RandomState(args.rng_seed)
     for d in range(args.min_doub, args.num_doub + 1):
         n = args.init_elems * (1 << d)
@@ -80,11 +89,16 @@ def main(argv=None):
             else:
                 check = ("ok" if np.allclose(out, expect, rtol=1e-5)
                          else "FAILED")
-        print(f"{n:>12} {mvals:>12.1f} {secs / args.runs * 1e3:>10.2f}  "
-              f"{check}")
-        rows.append({"n": n, "mvalues_s": round(mvals, 2),
-                     "ms_per_run": round(secs / args.runs * 1e3, 3),
-                     "check": check})
+        row = {"n": n, "mvalues_s": round(mvals, 2),
+               "ms_per_run": round(secs / args.runs * 1e3, 3)}
+        if traffic is not None:
+            from cl_ops_tpu.bench.roofline import roofline_row
+            row.update(roofline_row(traffic(n), secs / args.runs))
+        row["check"] = check
+        print(f"{n:>12} {mvals:>12.1f} {secs / args.runs * 1e3:>10.2f} "
+              f"{row.get('gb_s', 0):>8.1f} {row.get('roofline_frac', 0):>6.2f}"
+              f"  {check}")
+        rows.append(row)
         if check == "FAILED":
             print("verification FAILED", file=sys.stderr)
             return 1

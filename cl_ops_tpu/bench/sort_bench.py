@@ -51,10 +51,20 @@ def main(argv=None):
     sorter = sort_mod.sort_new(args.algorithm, args.alg_options,
                                elem_dtype=args.elem_type)
     sync = common.default_sync()
+    # roofline accounting only for the modeled flagship schedule
+    traffic = None
+    if args.algorithm == "abitonic":
+        from cl_ops_tpu.core.registry import parse_options
+        from cl_ops_tpu.ops.sort import keys as keymod
+        from cl_ops_tpu.ops.sort.bitonic import abitonic_traffic_bytes
+        opts = parse_options(args.alg_options)
+        ncols = keymod.num_limbs(sorter.elem_dtype) + (1 if args.kv else 0)
+        traffic = lambda nn: abitonic_traffic_bytes(nn, ncols, opts)  # noqa
     rows = []
     print(f"# algorithm: {args.algorithm}  type: {args.elem_type}  "
           f"runs: {args.runs}")
-    print(f"{'N':>12} {'Mkeys/s':>12} {'ms/run':>10}  check")
+    print(f"{'N':>12} {'Mkeys/s':>12} {'ms/run':>10} {'GB/s':>8} "
+          f"{'roof':>6}  check")
     for po2 in range(args.minpo2, args.maxpo2 + 1):
         n = 1 << po2
         host = common.rand_array(sorter.elem_dtype, n,
@@ -81,11 +91,16 @@ def main(argv=None):
             else:
                 ok = bool(np.all(np.diff(outh) >= 0))
             check = "ok" if ok else "FAILED"
-        print(f"{n:>12} {mkeys:>12.1f} {secs / args.runs * 1e3:>10.2f}  "
-              f"{check}")
-        rows.append({"n": n, "mkeys_s": round(mkeys, 2),
-                     "ms_per_run": round(secs / args.runs * 1e3, 3),
-                     "check": check})
+        row = {"n": n, "mkeys_s": round(mkeys, 2),
+               "ms_per_run": round(secs / args.runs * 1e3, 3)}
+        if traffic is not None:
+            from cl_ops_tpu.bench.roofline import roofline_row
+            row.update(roofline_row(traffic(n), secs / args.runs))
+        row["check"] = check
+        print(f"{n:>12} {mkeys:>12.1f} {secs / args.runs * 1e3:>10.2f} "
+              f"{row.get('gb_s', 0):>8.1f} {row.get('roofline_frac', 0):>6.2f}"
+              f"  {check}")
+        rows.append(row)
         if check == "FAILED":
             print("verification FAILED", file=sys.stderr)
             return 1

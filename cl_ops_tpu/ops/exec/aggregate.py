@@ -4,13 +4,16 @@ North-star operator (BASELINE.json: "GROUP BY over 256M rows, 1M groups").
 No referent in the reference library; composes the framework's own
 primitives the way satradix composes scan (`clo_sort_satradix.c:296-300`).
 
-Two strategies:
+Strategies:
   * "direct"  — keys are already dense group ids in [0, num_groups):
     a scatter-add (segment sum) straight into the accumulator table.
-  * "sort"    — arbitrary keys: sort rows by key (any registry sorter),
-    then detect group boundaries with a prefix scan and reduce per group.
-    Group results come out in ascending key order — deterministic, unlike
-    hash-bucket order.
+  * "sort"    — arbitrary keys: sort rows by (key, value) — by default via
+    the flagship Pallas bitonic on normalized limbs — then detect group
+    boundaries and reduce per group with cumsum differences and gathers
+    (NO scatter: XLA scatter on TPU is element-serialized, ~2 Mrows/s).
+    Sorting values as a SECONDARY KEY makes min/max pure gathers too:
+    a group's min is its first value, its max its last. Group results come
+    out in ascending key order — deterministic, unlike hash-bucket order.
 
 Aggregations: sum, count, min, max, mean.
 """
@@ -21,6 +24,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cl_ops_tpu.ops.exec import psort
+from cl_ops_tpu.ops.sort import keys as keymod
 
 _AGGS = ("sum", "count", "min", "max", "mean")
 
@@ -35,16 +41,18 @@ def _accumulate(table, group_id, values, agg):
     raise ValueError(f"unknown agg {agg!r}; known: {_AGGS}")
 
 
-def _init_table(num_groups, dtype, agg):
+def _init_scalar(dtype, agg):
     if agg == "min":
-        return jnp.full((num_groups,), jnp.iinfo(dtype).max
-                        if jnp.issubdtype(dtype, jnp.integer)
-                        else jnp.inf, dtype)
+        return (jnp.iinfo(dtype).max
+                if jnp.issubdtype(dtype, jnp.integer) else jnp.inf)
     if agg == "max":
-        return jnp.full((num_groups,), jnp.iinfo(dtype).min
-                        if jnp.issubdtype(dtype, jnp.integer)
-                        else -jnp.inf, dtype)
-    return jnp.zeros((num_groups,), dtype)
+        return (jnp.iinfo(dtype).min
+                if jnp.issubdtype(dtype, jnp.integer) else -jnp.inf)
+    return 0
+
+
+def _init_table(num_groups, dtype, agg):
+    return jnp.full((num_groups,), _init_scalar(dtype, agg), dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "agg"))
@@ -65,33 +73,64 @@ def group_aggregate_direct(group_ids, values, *, num_groups: int,
     return table
 
 
+@functools.partial(jax.jit, static_argnames=("num_groups", "agg",
+                                             "use_pallas"))
+def _sorted_aggregate_pallas(keys, values, *, num_groups: int, agg: str,
+                             use_pallas: bool):
+    """Sort rows by (key, value) on normalized limbs, then boundary-reduce.
+
+    Both columns participate as comparison keys (values secondary), so the
+    value order within each group is known and min/max become gathers.
+    """
+    kl = keymod.to_limbs(keys)
+    vl = keymod.to_limbs(values)
+    out = psort.sort_i32_cols((*kl, *vl)) if use_pallas else tuple(
+        jax.lax.sort([*kl, *vl], num_keys=len(kl) + len(vl)))
+    skeys = keymod.from_limbs(list(out[:len(kl)]), keys.dtype)
+    svals = keymod.from_limbs(list(out[len(kl):]), values.dtype)
+    return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg,
+                            vals_in_key_order=True, use_pallas=use_pallas)
+
+
 def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
-                           sorter=None):
+                           sorter=None, use_pallas: bool = True):
     """Aggregate values by arbitrary key: sort -> boundary scan -> reduce.
+
+    By default rows sort by (key, value) through the flagship Pallas
+    bitonic (use_pallas=False keeps the same algorithm on `jax.lax.sort`).
+    Passing an explicit registry `sorter` instead sorts by key only with
+    values as payload (the reference-style op-composition path); min/max
+    then fall back to the scatter table.
 
     Returns (group_keys, table, count): the first `count` entries of
     group_keys/table hold one row per distinct key in ascending key order;
     later entries are padding. num_groups is the table capacity
     (distinct-key count must not exceed it).
     """
-    from cl_ops_tpu.ops.sort import sort_new
     if sorter is None:
-        sorter = sort_new("xla", elem_dtype=keys.dtype)
+        return _sorted_aggregate_pallas(keys, values, num_groups=num_groups,
+                                        agg=agg, use_pallas=use_pallas)
     skeys, svals = sorter.sort_with_device_data(keys, values)
-    return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg)
+    return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg,
+                            use_pallas=use_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "agg"))
+@functools.partial(jax.jit, static_argnames=("num_groups", "agg",
+                                             "vals_in_key_order",
+                                             "use_pallas"))
 def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
-                     n_valid=None):
+                     n_valid=None, vals_in_key_order: bool = False,
+                     use_pallas: bool = False):
     """Scatter-free segmented reduce over key-sorted rows.
 
     sum/count/mean: group totals are differences of the running cumsum at
     segment END positions; the (data-dependent) end-position list compacts
-    to the front with the same stable-sort trick filter_compact uses. XLA
-    scatter-add on TPU is element-serialized (~2 Mrows/s measured), while
-    this path is sort/cumsum/gather only. min/max fall back to scatter
-    (no cumsum-diff identity) — prefer sum-type aggregations at scale.
+    to the front with the same stable-partition key filter_compact uses
+    (Pallas bitonic when use_pallas). min/max: when vals_in_key_order
+    (rows sorted by (key, value)), a group's min/max are the values at its
+    first/last position — pure gathers; otherwise they fall back to the
+    XLA scatter table (element-serialized on TPU — prefer the sorted-value
+    path at scale).
 
     n_valid: optional traced count of valid rows. When given, rows at
     positions >= n_valid are ignored entirely (callers sort with the
@@ -110,7 +149,8 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
                                       (skeys != prev)[1:]])
     group_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     count = group_id[-1] + 1
-    if agg in ("min", "max"):
+
+    if agg in ("min", "max") and not vals_in_key_order:
         gid_scatter = jnp.where(valid, group_id, num_groups)  # drop invalid
         table = group_aggregate_direct(gid_scatter, svals,
                                        num_groups=num_groups, agg=agg)
@@ -125,29 +165,45 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
     next_is_new = jnp.concatenate([is_new[1:], ones1])
     next_invalid = jnp.concatenate([jnp.logical_not(valid)[1:], ones1])
     is_end = valid & (next_is_new | next_invalid)
-    if n_valid is not None:
+    if n_valid is not None and agg not in ("min", "max"):
         svals = jnp.where(valid, svals, jnp.zeros((), svals.dtype))
-    # compact end positions to the front, in order (stable sort by ~is_end)
-    ends = jax.lax.sort([jnp.logical_not(is_end).astype(jnp.int32), pos],
-                        num_keys=1, is_stable=True)[1]
-    ends = ends[:num_groups] if n >= num_groups else jnp.pad(
-        ends, (0, num_groups - n), constant_values=n - 1)
-    valid = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
-    ends = jnp.where(valid, ends, n - 1)
+    # compact end positions to the front, in order (stable partition)
+    if use_pallas and 2 * n < 2 ** 31:
+        comb = psort.flag_pos_key(
+            jnp.logical_not(is_end).astype(jnp.int32), n)
+        es = psort.sort_i32_cols((comb,))[0]
+        ends_all = jnp.where(es < n, es, es - jnp.int32(n))
+    else:
+        ends_all = jax.lax.sort(
+            [jnp.logical_not(is_end).astype(jnp.int32), pos],
+            num_keys=1, is_stable=True)[1]
+    ends = ends_all[:num_groups] if n >= num_groups else jnp.pad(
+        ends_all, (0, num_groups - n), constant_values=n - 1)
+    valid_g = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
+    ends = jnp.where(valid_g, ends, n - 1)
+    group_keys = jnp.take(skeys, ends)
 
-    valid_i32 = valid.astype(jnp.int32)
+    if agg in ("min", "max"):
+        # group starts: end of the previous group + 1
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
+        src = ends if agg == "max" else jnp.clip(starts, 0, n - 1)
+        table = jnp.where(valid_g, jnp.take(svals, src),
+                          jnp.asarray(_init_scalar(svals.dtype, agg),
+                                      svals.dtype))
+        return group_keys, table, count
+
     if agg == "count":
-        vacc = jnp.cumsum(valid_i32)
+        vacc = jnp.cumsum(valid.astype(jnp.int32))
     else:
         vacc = jnp.cumsum(svals)
     end_acc = jnp.take(vacc, ends)
     prev_acc = jnp.concatenate([jnp.zeros((1,), end_acc.dtype),
                                 end_acc[:-1]])
-    table = jnp.where(valid, end_acc - prev_acc,
+    table = jnp.where(valid_g, end_acc - prev_acc,
                       jnp.zeros((), end_acc.dtype))
-    group_keys = jnp.take(skeys, ends)
     if agg == "mean":
-        cnt_acc = jnp.take(jnp.cumsum(valid_i32), ends)
+        cnt_acc = jnp.take(jnp.cumsum(valid.astype(jnp.int32)), ends)
         prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                     cnt_acc[:-1]])
         cnts = jnp.maximum(cnt_acc - prev_cnt, 1)

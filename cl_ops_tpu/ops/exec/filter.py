@@ -1,34 +1,32 @@
-"""Filter + stream compaction: predicate -> scan -> scatter.
+"""Filter + stream compaction.
 
 North-star operator (BASELINE.json: "Prefix-sum filter: Blelloch scan +
 compaction over 64M rows w/ 10% selectivity"). No direct referent in the
-reference library; it is the canonical *consumer* of the reference's scan
-primitive — compaction destinations are exactly an exclusive prefix sum of
-the predicate mask, the same composition pattern satradix uses
+reference library; it is the canonical *consumer* of the reference's
+primitives — the same composition pattern satradix uses
 (`src/cl_ops/sort/clo_sort_satradix.c:296-300` composes a CloScan).
 
-XLA has no data-dependent shapes, so compaction returns (packed, count):
+TPU-native formulation: compaction destinations are an exclusive prefix sum
+of the predicate mask, but XLA's scatter is element-serialized on TPU
+(~1000x slower than a sort here), so compaction instead rides ONE unique
+i32 key `(!keep)*n + position` through the flagship Pallas bitonic — a
+stable partition with kept rows contiguous at the front (psort.py). The
+count is a plain reduction.
+
+XLA has no data-dependent shapes, so compaction returns (count, packed):
 `packed` has the input length with kept rows contiguous at the front and
-unspecified tail; `count` is the number kept.
+unspecified tail.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from cl_ops_tpu.utils.platform import pallas_interpret
-
-
-def _mask_scan(mask_i32, use_pallas: bool, interpret: bool):
-    if use_pallas:
-        from cl_ops_tpu.ops.scan.kernels import scan_1d
-        return scan_1d(mask_i32, sum_dtype=jnp.int32, exclusive=True,
-                       interpret=interpret)
-    return jnp.cumsum(mask_i32) - mask_i32
+from cl_ops_tpu.ops.exec import psort
 
 
 @functools.partial(jax.jit, static_argnames=("predicate", "use_pallas"))
@@ -36,11 +34,8 @@ def filter_compact(data, predicate: Callable, *extra_cols,
                    use_pallas: bool = True):
     """Keep rows where predicate(data) holds, compacted to the front.
 
-    Compaction is a stable sort on the negated mask: kept rows (key 0)
-    move to the front in their original order. On TPU this runs ~1000x
-    faster than the textbook prefix-sum + scatter form (XLA scatter is
-    element-serialized there); the prefix-sum path remains available via
-    use_pallas for the scan-composition parity story and the count.
+    use_pallas selects the Pallas bitonic compaction (default); rows fall
+    back to `jax.lax.sort` when columns are not 4-byte or n >= 2^30.
 
     Args:
       data: 1-D array the predicate reads.
@@ -51,14 +46,15 @@ def filter_compact(data, predicate: Callable, *extra_cols,
       (count, packed_data, *packed_cols) — elements past `count` are
       unspecified (the dropped rows' slots).
     """
+    n = data.shape[0]
     mask = predicate(data)
-    mask_i32 = mask.astype(jnp.int32)
-    if use_pallas:
-        # count via the Pallas scan (satradix-style composition parity)
-        dest = _mask_scan(mask_i32, True, pallas_interpret())
-        count = (dest[-1] + mask_i32[-1]).astype(jnp.int32)
-    else:
-        count = jnp.sum(mask_i32)
+    keep_i32 = mask.astype(jnp.int32)
+    count = jnp.sum(keep_i32)
+    cols = (data, *extra_cols)
+    if use_pallas and 2 * n < 2 ** 31 and psort.cols_sortable(*cols):
+        key = psort.flag_pos_key(jnp.int32(1) - keep_i32, n)
+        out = psort.sort_i32_cols((key, *cols))
+        return (count, *out[1:])
     dropped_key = jnp.logical_not(mask).astype(jnp.int32)
     out = jax.lax.sort([dropped_key, data, *extra_cols], num_keys=1,
                        is_stable=True)

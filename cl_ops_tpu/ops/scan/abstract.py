@@ -124,7 +124,8 @@ def _blelloch_make_fn(elem_dtype, sum_dtype, options):
 
     def fn(x, exclusive):
         return kernels.scan_1d(x, sum_dtype=sum_dtype, exclusive=exclusive,
-                               block_rows=block_rows, interpret=interpret)
+                               block_rows=block_rows, interpret=interpret,
+                               single_pass=False)
     return fn
 
 
@@ -146,6 +147,31 @@ scan_impls.register("blelloch")(lambda: ScanImplDef(
     make_fn=_blelloch_make_fn,
     kernel_names=("block_sums", "block_sums_scan", "block_scan_base_add"),
     vmem_usage=_blelloch_vmem,
+))
+
+
+# --- lookback: the single-pass carry kernel ----------------------------------
+
+def _lookback_make_fn(elem_dtype, sum_dtype, options):
+    block_rows = int(options.get("block_rows", 512))
+    interpret = pallas_interpret() or options.get("interpret") == "1"
+
+    def fn(x, exclusive):
+        return kernels.scan_1d(x, sum_dtype=sum_dtype, exclusive=exclusive,
+                               block_rows=block_rows, interpret=interpret,
+                               single_pass=True)
+    return fn
+
+
+# The decoupled-lookback-style variant SURVEY §7 stage 3 names: ONE kernel,
+# per-block MXU scan + serial SMEM carry across sequential grid steps — 2
+# HBM sweeps instead of blelloch's 3. Integer sums only; float sums fall
+# back to the 3-phase structure inside scan_1d.
+scan_impls.register("lookback")(lambda: ScanImplDef(
+    name="lookback",
+    make_fn=_lookback_make_fn,
+    kernel_names=("carry_scan",),
+    vmem_usage=lambda k, n, o: int(o.get("block_rows", 512)) * 128 * 2 * 8,
 ))
 
 

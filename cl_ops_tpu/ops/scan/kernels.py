@@ -184,6 +184,72 @@ def _scan_block_kernel(base_ref, x_ref, out_ref, *, exclusive: bool,
         out_ref[...] = res.astype(out_dtype)
 
 
+def _scan_carry_kernel(x_ref, out_ref, carry_ref, *, exclusive: bool,
+                       out_dtype):
+    """Single-pass scan: per-block MXU scan + a serial SMEM carry.
+
+    2 HBM sweeps (read input, write output) instead of the 3 the base-fed
+    design pays (VERDICT r1 item 3; structural referent
+    `clo_scan_blelloch.cl:49-211` — this is its single-kernel collapse).
+    The carry dependency only serializes the cheap base-add tail of each
+    grid step; Mosaic still overlaps the block DMAs. i32/mod-2^32 only.
+    """
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        carry_ref[0] = 0
+
+    x = x_ref[...]
+    if jnp.dtype(x.dtype).kind == "u":
+        xi = jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.int32)
+    else:
+        xi = x.astype(jnp.int32)
+    incl = _block_inclusive_scan_mod32(xi)
+    base = carry_ref[0]
+    res = incl + base - xi if exclusive else incl + base
+    # block total via the scan tail (jnp.sum would promote under x64)
+    carry_ref[0] = base + incl[x.shape[0] - 1, LANES - 1]
+    if jnp.dtype(out_dtype).kind == "u":
+        out_ref[...] = jax.lax.bitcast_convert_type(
+            res, jnp.uint32).astype(out_dtype)
+    else:
+        out_ref[...] = res.astype(out_dtype)
+
+
+def _wide_scan_carry_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref,
+                            carry_ref, *, exclusive: bool):
+    """Single-pass 64-bit scan: (lo, hi) i32 limbs + a 2-scalar SMEM carry."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        carry_ref[0] = 0
+        carry_ref[1] = 0
+
+    xlo = lo_ref[...]
+    xhi = hi_ref[...]
+    word_lo, carry_lo = _scan_u32_mod(xlo)
+    word_hi, _ = _scan_u32_mod(xhi)
+    word_hi = word_hi + carry_lo
+    base_lo = carry_ref[0]
+    base_hi = carry_ref[1]
+    incl_lo = word_lo + base_lo
+    incl_hi = word_hi + base_hi + _ult(incl_lo, base_lo)
+    r = xlo.shape[0]
+    tot_lo = incl_lo[r - 1, LANES - 1]
+    tot_hi = incl_hi[r - 1, LANES - 1]
+    carry_ref[0] = tot_lo
+    carry_ref[1] = tot_hi
+    if exclusive:
+        out_lo = incl_lo - xlo
+        out_hi = incl_hi - xhi - _ult(incl_lo, xlo)
+    else:
+        out_lo, out_hi = incl_lo, incl_hi
+    out_lo_ref[...] = out_lo
+    out_hi_ref[...] = out_hi
+
+
 def _wide_scan_block_kernel(base_lo_ref, base_hi_ref, lo_ref, hi_ref,
                             out_lo_ref, out_hi_ref, *, exclusive: bool):
     """Base-fed per-block scan of 64-bit values as (lo, hi) i32 limbs."""
@@ -268,11 +334,39 @@ def _pad_2d(x, block_rows, pad_value=0):
     return x.reshape(n_blocks * block_rows, LANES), n_blocks
 
 
+def scan_traffic_bytes(n: int, elem_dtype, sum_dtype,
+                       block_rows: int = 512,
+                       single_pass: bool = False) -> int:
+    """Bytes-moved model of scan_1d (for bench roofline accounting).
+
+    3-phase: the XLA block-sum pass reads the input once, the Pallas pass
+    reads it again and writes the output. Single-pass: one read + one
+    write. The wide (64-bit-sum) path additionally pays the limb
+    split/recombine copies. Keep in lockstep with scan_1d.
+    """
+    es = jnp.dtype(elem_dtype).itemsize
+    ss = jnp.dtype(sum_dtype).itemsize
+    block_elems = block_rows * LANES
+    if ss == 8 and jnp.dtype(sum_dtype).kind in "iu":
+        bw = min(block_rows, MAX_WIDE_ROWS) * LANES
+        p = cdiv(n, bw) * bw
+        # split to limbs (r n*es, w 8p) + [3-phase: sums r 8p] +
+        # kernel (r 8p, w 8p) + recombine (r 8p, w 8n)
+        sweeps = 4 if single_pass else 5
+        return n * es + sweeps * 8 * p + 8 * n
+    p = cdiv(n, block_elems) * block_elems
+    pad = (n * es + p * 4) if p != n else 0
+    sums = 0 if single_pass else 4 * p
+    return pad + sums + 4 * p + ss * p
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sum_dtype", "exclusive", "block_rows", "interpret"))
-def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False):
-    """Single-pass grid-carry prefix sum over a 1-D array.
+    static_argnames=("sum_dtype", "exclusive", "block_rows", "interpret",
+                     "single_pass"))
+def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False,
+            single_pass=True):
+    """Prefix sum over a 1-D array.
 
     Args:
       x: 1-D input of any length (padded internally to a block multiple;
@@ -285,13 +379,20 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False):
         gives inclusive.
       block_rows: sublane rows per grid block; block covers block_rows*128
         elements of VMEM per step.
+      single_pass: integer sums run the single-kernel carry scan (2 HBM
+        sweeps — read input, write output); False keeps the 3-phase
+        base-fed design (block sums in XLA + one Pallas pass). Floats
+        always use the 3-phase path.
     """
     n = x.shape[0]
     sum_dtype = jnp.dtype(sum_dtype)
 
     if sum_dtype.kind in "iu" and sum_dtype.itemsize == 8:
-        return _scan_1d_wide(x, sum_dtype, exclusive,
-                             min(block_rows, MAX_WIDE_ROWS), interpret)[:n]
+        br = min(block_rows, MAX_WIDE_ROWS)
+        if single_pass:
+            return _scan_1d_wide_carry(x, sum_dtype, exclusive, br,
+                                       interpret)[:n]
+        return _scan_1d_wide(x, sum_dtype, exclusive, br, interpret)[:n]
 
     if sum_dtype == jnp.float64:
         acc = jnp.cumsum(x.astype(sum_dtype))
@@ -303,6 +404,9 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False):
         compute_dtype = jnp.dtype(jnp.int32)
     else:
         compute_dtype = sum_dtype
+
+    if single_pass and compute_dtype.kind in "iu":
+        return _scan_1d_carry(x, sum_dtype, exclusive, block_rows, interpret)
 
     x2, n_blocks = _pad_2d(x, block_rows)
     # Phase 1+2 (XLA): per-block sums, then a tiny exclusive scan of them —
@@ -336,6 +440,52 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False):
         interpret=interpret,
     )(base, x2)
     return out.reshape(-1)[:n]
+
+
+def _scan_1d_carry(x, sum_dtype, exclusive, block_rows, interpret):
+    """Single-pass integer scan: one kernel, SMEM carry across grid steps."""
+    n = x.shape[0]
+    x2, n_blocks = _pad_2d(x, block_rows)
+    spec = pl.BlockSpec((block_rows, LANES), _row_block_index_map,
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_scan_carry_kernel, exclusive=exclusive,
+                          out_dtype=sum_dtype),
+        grid=(n_blocks,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rows, LANES),
+                                       sum_dtype),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x2)
+    return out.reshape(-1)[:n]
+
+
+def _scan_1d_wide_carry(x, sum_dtype, exclusive, block_rows, interpret):
+    """Single-pass 64-bit-sum scan on (lo, hi) limbs + 2-scalar SMEM carry."""
+    lo, hi = _to_limbs(x)
+    lo2, n_blocks = _pad_2d(lo, block_rows)
+    hi2, _ = _pad_2d(hi, block_rows)
+    spec = pl.BlockSpec((block_rows, LANES), _row_block_index_map,
+                        memory_space=pltpu.VMEM)
+    out_lo, out_hi = pl.pallas_call(
+        functools.partial(_wide_scan_carry_kernel, exclusive=exclusive),
+        grid=(n_blocks,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lo2, hi2)
+    return _from_limbs(out_lo.reshape(-1), out_hi.reshape(-1), sum_dtype)
 
 
 def _scan_1d_wide(x, sum_dtype, exclusive, block_rows, interpret):

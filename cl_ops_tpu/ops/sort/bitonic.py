@@ -57,6 +57,28 @@ def _pick_merge_rows(block_rows: int) -> int:
     return block_rows * 4
 
 
+def abitonic_traffic_bytes(n: int, n_arrays: int,
+                           options: dict | None = None) -> int:
+    """Bytes-moved model of one abitonic sort call (roofline accounting).
+
+    Replays the strategy selection of _make_bitonic_sorter for the given
+    options, then sums the fused schedule's launch traffic
+    (bitonic_kernels.fused_traffic_bytes) plus the pow-2 pad copy.
+    """
+    options = options or {}
+    vmem = int(options.get("vmem", 8 * 1024 * 1024))
+    padded = max(nlpo2(n), bk.MIN_ROWS * bk.LANES)
+    rows = padded // bk.LANES
+    br = int(options["block_rows"]) if "block_rows" in options else \
+        _pick_block_rows(n_arrays, vmem)
+    br = min(br, rows)
+    mr = int(options["merge_rows"]) if "merge_rows" in options else \
+        _pick_merge_rows(br)
+    mr = max(min(mr, rows), br)
+    pad_bytes = (n + padded) * 4 * n_arrays if padded != n else 0
+    return bk.fused_traffic_bytes(padded, n_arrays, br, mr) + pad_bytes
+
+
 def _make_bitonic_sorter(fused: bool):
     def make(spec, options):
         interpret = pallas_interpret() or options.get("interpret") == "1"

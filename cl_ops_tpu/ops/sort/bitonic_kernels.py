@@ -459,6 +459,67 @@ def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
     return tuple(out)
 
 
+def _pair_cross_kernel(params_ref, *refs, n_arrays: int, two_j: int):
+    """Cross-block step writing BOTH partners: 2 HBM sweeps, not 3.
+
+    The plain cross kernel reads self + partner but writes only self, so a
+    level costs read 2n + write n. Here the host reshapes the (R, 128)
+    arrays to (S, 2, j, C, 128) — the pair axis (dim 1) IS the XOR bit at
+    distance j C-blocks — and each grid step's block holds both partners,
+    writing read n + write n. The analog of the reference's multi-step
+    kernels consuming global steps with fewer memory trips
+    (`clo_sort_abitonic.in.h:33-106`).
+
+    params = [k_blocks] (stage direction bit, C-block units) via scalar
+    prefetch; two_j = 2*j is static per (S, j) shape. Direction of the
+    flat lo block b = s*2j + l is (b & k) == 0 = ((s*2j) & k) == 0 since
+    k >= 2j > l.
+    """
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    s = pl.program_id(0)
+    k_blocks = params_ref[0]
+    asc = ((s * two_j) & k_blocks) == 0
+    lo = tuple(r[0, 0, 0] for r in ins)
+    hi = tuple(r[0, 1, 0] for r in ins)
+    lt = _lex_lt(lo, hi)
+    lo_takes_self = lt == asc  # lo keeps the min in ascending pairs
+    for o, l, h in zip(outs, lo, hi):
+        o[0, 0, 0] = jnp.where(lo_takes_self, l, h)
+        o[0, 1, 0] = jnp.where(lo_takes_self, h, l)
+
+
+def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
+    """One cross level at distance j_c C-blocks, pair-structured."""
+    n_arrays = len(arrs2d)
+    total_rows = arrs2d[0].shape[0]
+    s_dim = total_rows // (2 * j_c * c_rows)
+    shape5 = (s_dim, 2, j_c, c_rows, LANES)
+    a5 = [a.reshape(shape5) for a in arrs2d]
+    params = jnp.array([k_c], jnp.int32)
+
+    def imap(s, l, prm):
+        return (s, 0, l, 0, 0)
+
+    spec = pl.BlockSpec((1, 2, 1, c_rows, LANES), imap,
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_dim, j_c),
+        in_specs=[spec] * n_arrays,
+        out_specs=tuple([spec] * n_arrays),
+    )
+    out = pl.pallas_call(
+        functools.partial(_pair_cross_kernel, n_arrays=n_arrays,
+                          two_j=2 * j_c),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(shape5, a.dtype) for a in a5),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(params, *a5)
+    return tuple(o.reshape(total_rows, LANES) for o in out)
+
+
 def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
                         multi_block: bool, unroll_lanes: bool = True):
     """Fused run of ALL bitonic stages K = start_k .. block size.
@@ -525,12 +586,22 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
         else:
             n2 = n_blocks
         merge_elems = mr * LANES
+        # cross levels run pair-structured at half-merge granularity: the
+        # level J = merge_elems pairs adjacent C-blocks (j_c = 2), deeper
+        # levels pair at j_c = 2J/merge_elems — every level 2 HBM sweeps.
+        c_rows = mr // 2
+        c_elems = c_rows * LANES
+        use_pair = c_rows >= MIN_ROWS  # sublane tile floor is (8, 128)
         for sk in range(log2_floor(merge_elems) + 1, log2_floor(n) + 1):
             k = 1 << sk
             j = k // 2
             while j >= merge_elems:
-                arrs2d = _call_cross(arrs2d, n2, mr, j // merge_elems,
-                                     k // merge_elems, interpret)
+                if use_pair:
+                    arrs2d = _call_pair_cross(arrs2d, c_rows, j // c_elems,
+                                              k // c_elems, interpret)
+                else:
+                    arrs2d = _call_cross(arrs2d, n2, mr, j // merge_elems,
+                                         k // merge_elems, interpret)
                 j //= 2
             arrs2d = _call_merge(arrs2d, n2, mr, k // merge_elems,
                                  interpret)
@@ -552,6 +623,30 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
     return arrs2d
 
 
+def fused_traffic_bytes(n_padded: int, n_arrays: int, block_rows: int,
+                        merge_rows: int | None) -> int:
+    """HBM bytes the fused schedule moves, mirroring bitonic_sort_2d.
+
+    Per launch: block/merge kernels and pair-structured cross levels all
+    read + write every array exactly once (2x). Used for the bench
+    roofline accounting (bench/roofline.py) — keep in lockstep with the
+    fused branch of bitonic_sort_2d.
+    """
+    per = n_padded * 4 * n_arrays
+    total_rows = n_padded // LANES
+    n = n_padded
+    b = 2 * per  # block sort
+    mr = min(merge_rows or block_rows, total_rows)
+    if mr > block_rows:
+        b += 2 * per  # multi-stage tier
+    merge_elems = mr * LANES
+    for sk in range(log2_floor(merge_elems) + 1, log2_floor(n) + 1):
+        k = 1 << sk
+        b += 2 * per * (sk - log2_floor(merge_elems))  # cross levels
+        b += 2 * per  # merge
+    return b
+
+
 def pad_and_reshape(arrs, pad_values, min_rows=MIN_ROWS):
     """Pad 1-D arrays to a shared po2 length >= min_rows*128, reshape 2D."""
     n = arrs[0].shape[0]
@@ -569,7 +664,8 @@ def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool):
 
     Used by the distributed sort (parallel/sort.py) to restore local order
     after a chip-level compare-split; k_blocks=0 makes every direction test
-    (b & 0) == 0 come out ascending.
+    (b & 0) == 0 come out ascending. Cross levels are pair-structured
+    (j_c >= 1 — adjacent pairs at the last level).
     """
     total_rows = arrs2d[0].shape[0]
     n = total_rows * LANES
@@ -578,7 +674,7 @@ def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool):
     assert is_po2(n) and n % block_elems == 0
     j = n // 2
     while j >= block_elems:
-        arrs2d = _call_cross(arrs2d, n_blocks, block_rows, j // block_elems,
-                             0, interpret)
+        arrs2d = _call_pair_cross(arrs2d, block_rows, j // block_elems,
+                                  0, interpret)
         j //= 2
     return _call_merge(arrs2d, n_blocks, block_rows, 0, interpret)

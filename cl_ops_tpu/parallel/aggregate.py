@@ -52,11 +52,14 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
         # space, so any real key value (incl. dtype extremes) aggregates
         # correctly; _boundary_reduce ignores rows past n_valid.
         inv = jnp.logical_not(valid).astype(jnp.int32)
-        _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=2)
+        # values sort as tertiary key so min/max reduce by gather (first/
+        # last value of each group), not element-serialized scatter
+        _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=3)
         n_valid = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)
         from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce
         gkeys, table, cnt = _boundary_reduce(sk, sv, num_groups=num_groups,
-                                             agg=agg, n_valid=n_valid)
+                                             agg=agg, n_valid=n_valid,
+                                             vals_in_key_order=True)
         return gkeys, table, cnt.reshape(1)
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),

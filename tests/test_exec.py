@@ -102,3 +102,86 @@ def test_hash_u32_range():
     assert h.min() >= 0 and h.max() < 256
     # roughly uniform: every bucket hit
     assert len(np.unique(h)) == 256
+
+
+def test_filter_pallas_extra_cols_float():
+    """Pallas compaction path with a float payload column."""
+    rng = np.random.RandomState(6)
+    x = rng.randint(0, 100, size=1500).astype(np.int32)
+    v = rng.randn(1500).astype(np.float32)
+    pred = lambda d: d % 3 == 0  # noqa: E731
+    count, px, pv = ex.filter_compact(jnp.asarray(x), pred, jnp.asarray(v),
+                                      use_pallas=True)
+    m = x % 3 == 0
+    assert int(count) == m.sum()
+    np.testing.assert_array_equal(np.asarray(px)[:int(count)], x[m])
+    np.testing.assert_array_equal(np.asarray(pv)[:int(count)], v[m])
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "mean"])
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_sorted_all_aggs(agg, use_pallas):
+    """Unified gather path: every agg via sort-by-(key,value)."""
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 40, size=1200).astype(np.uint32)
+    vals = rng.randint(-50, 50, size=1200).astype(np.int32)
+    vv = vals.astype(np.float32) if agg == "mean" else vals
+    gkeys, table, count = ex.group_aggregate_sorted(
+        jnp.asarray(keys), jnp.asarray(vv), num_groups=64, agg=agg,
+        use_pallas=use_pallas)
+    uniq = np.unique(keys)
+    assert int(count) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(gkeys)[:len(uniq)], uniq)
+    oracle = {"sum": np.sum, "count": len, "min": np.min, "max": np.max,
+              "mean": np.mean}[agg]
+    expect = np.array([oracle(vv[keys == k]) for k in uniq])
+    np.testing.assert_allclose(np.asarray(table)[:len(uniq)], expect,
+                               rtol=1e-6)
+
+
+def test_group_aggregate_sorted_u64_keys():
+    """64-bit keys ride two limbs through the Pallas column sort."""
+    rng = np.random.RandomState(8)
+    base = rng.randint(0, 1 << 62, size=12, dtype=np.uint64) * 4
+    base[0] = np.uint64(2**64 - 1)  # top-bit key exercises high-limb flip
+    keys = base[rng.randint(0, 12, size=600)]
+    vals = rng.randint(0, 100, size=600).astype(np.int32)
+    gkeys, table, count = ex.group_aggregate_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), num_groups=32, agg="sum")
+    uniq = np.unique(keys)
+    assert int(count) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(gkeys)[:len(uniq)], uniq)
+    expect = np.array([vals[keys == k].sum() for k in uniq])
+    np.testing.assert_array_equal(np.asarray(table)[:len(uniq)], expect)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_hash_join_paths(use_pallas):
+    rng = np.random.RandomState(9)
+    dim_keys = np.unique(rng.randint(0, 1 << 16, size=300).astype(np.uint32))
+    dim_vals = (dim_keys * 13 + 5).astype(np.uint32)
+    perm = rng.permutation(len(dim_keys))
+    fact = np.concatenate([
+        dim_keys[rng.randint(0, len(dim_keys), size=900)],
+        rng.randint(1 << 16, 1 << 17, size=77).astype(np.uint32)])
+    rng.shuffle(fact)
+    found, vals = ex.hash_join(jnp.asarray(dim_keys[perm]),
+                               jnp.asarray(dim_vals[perm]),
+                               jnp.asarray(fact), use_pallas=use_pallas)
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(fact, dim_keys)
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(vals[expect], fact[expect] * 13 + 5)
+
+
+def test_hash_join_float_vals_pallas():
+    """4-byte float build values ride the probe sorts bitcast."""
+    rng = np.random.RandomState(10)
+    dim_keys = np.arange(64, dtype=np.uint32)
+    dim_vals = rng.randn(64).astype(np.float32)
+    fact = rng.randint(0, 80, size=500).astype(np.uint32)
+    found, vals = ex.hash_join(jnp.asarray(dim_keys), jnp.asarray(dim_vals),
+                               jnp.asarray(fact))
+    found, vals = np.asarray(found), np.asarray(vals)
+    np.testing.assert_array_equal(found, fact < 64)
+    np.testing.assert_array_equal(vals[found], dim_vals[fact[found]])
