@@ -24,7 +24,9 @@ from cl_ops_tpu.parallel.mesh import DATA_AXIS
 def _local_inclusive(x, sum_dtype, use_pallas: bool):
     if use_pallas:
         from cl_ops_tpu.ops.scan import kernels
-        return kernels.scan_1d(x, sum_dtype=sum_dtype, exclusive=False)
+        from cl_ops_tpu.utils.platform import pallas_interpret
+        return kernels.scan_1d(x, sum_dtype=sum_dtype, exclusive=False,
+                               interpret=pallas_interpret())
     return jnp.cumsum(x.astype(sum_dtype))
 
 

@@ -63,7 +63,8 @@ def range_partition_exchange(data, splitters, mesh: Mesh, *, capacity: int,
 
 
 def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
-                     samples_per_chip: int = 256, axis: str = DATA_AXIS):
+                     samples_per_chip: int = 256, axis: str = DATA_AXIS,
+                     max_resample: int = 2):
     """Sample sort across the mesh: splitters -> range exchange -> local sort.
 
     The scalable alternative to the hypercube bitonic dist_sort: one
@@ -73,18 +74,32 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
     chip c holds totals[c] valid rows sorted ascending at the front of its
     (n_chips*capacity)-long slice of sorted_buf (entries past totals[c] are
     unspecified), and all of chip c's keys precede chip c+1's.
-    capacity_factor sizes the per-bucket headroom over the uniform share;
-    skew beyond the sample's resolution drops rows — check the `dropped`
-    counter per chip.
+    capacity_factor sizes the per-bucket headroom over the uniform share.
+    Skew beyond the sample's resolution would drop rows; the planner
+    detects that (`dropped` counter) and re-plans with 4x the samples, up
+    to `max_resample` times, before letting rows drop — check the
+    returned `dropped` per chip. (Duplicate-heavy keys where one key
+    exceeds a bucket's capacity cannot be fixed by sampling; raise
+    capacity_factor for those.)
     """
+    import numpy as np
     n_chips = mesh.shape[axis]
     n = x.shape[0]
     shard_len = n // n_chips
     capacity = int(capacity_factor * shard_len / n_chips) + 1
-    splitters = plan_splitters(x, mesh, samples_per_chip=samples_per_chip,
-                               axis=axis)
-    counts, dropped, buf = range_partition_exchange(
-        x, splitters, mesh, capacity=capacity, axis=axis)
+    attempt = 0
+    while True:
+        splitters = plan_splitters(x, mesh,
+                                   samples_per_chip=samples_per_chip,
+                                   axis=axis)
+        counts, dropped, buf = range_partition_exchange(
+            x, splitters, mesh, capacity=capacity, axis=axis)
+        if attempt >= max_resample:
+            break
+        if int(np.asarray(jax.device_get(dropped)).sum()) == 0:
+            break
+        samples_per_chip *= 4  # adaptive re-sample on overflow
+        attempt += 1
 
     def local_fn(c, b):
         c = c.reshape(-1)
