@@ -7,8 +7,11 @@ classic linear-probing tables lose to sorted probes); the distributed
 strategy hash-partitions both sides over the mesh with all_to_all so each
 chip joins only its partition (parallel/ layer).
 
-v1 semantics: inner equi-join where build keys are unique (the dimension-
-table case). Probe rows with no match are flagged, not emitted.
+Semantics:
+  * unique build keys (dimension-table case): (found, vals) per probe.
+  * non-unique build keys: (match_count, first_vals) per probe — the
+    bounded-output compromise (full expansion has no static shape).
+  * join_type "inner" | "semi" | "anti": semi/anti return only the mask.
 """
 
 from __future__ import annotations
@@ -21,87 +24,132 @@ import jax.numpy as jnp
 from cl_ops_tpu.ops.exec import psort
 from cl_ops_tpu.ops.sort import keys as keymod
 
+_I32_MIN = -0x80000000
+_I32_MAX = 0x7FFFFFFF
+
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
-                  use_pallas: bool = True):
-    """Merge-join probe: sorts instead of per-probe binary search.
+def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
+                use_pallas: bool = True):
+    """Counts-and-gathers core of the merge-join probe.
 
-    jnp.searchsorted costs ~log2(nb) rounds of random 16M-gathers on TPU
-    (~3.4 s for the 16M x 1M config); merging the two sorted relations
-    and counting dims-before-probe by position needs only sorts, a prefix
-    rank, and two monotone gathers (~10x faster).
+    Keys are tuples of normalized i32 limbs (keys.py — 1 for 32-bit, 2 for
+    64-bit). With dims sorted BEFORE probes on equal keys, a probe's
+    merged position minus its rank among probes = count of build keys <=
+    the probe key. Everything is sorts, a prefix rank, and monotone
+    gathers — no per-probe binary search (jnp.searchsorted costs
+    ~log2(nb) rounds of random gathers on TPU, ~10x slower at 16M x 1M).
 
-    Steps: sort (key, tag) with dims tagged 0 so equal keys place the dim
-    before the probe; a probe's merged position minus its rank among
-    probes = number of dims <= its key, whose predecessor is the matching
-    dim for unique build keys. Results return to original probe order by
-    one more sort on the carried source index.
-
-    The Pallas path (default) runs all three sorts through the flagship
-    fused bitonic, packing (tag, src) into `tag*m + src` and
-    (src, found) into `src*2 + found` so every sort is two i32 columns
-    with a unique leading key. Falls back to `jax.lax.sort` for 64-bit
-    keys / values or n >= 2^30.
+    Returns, in ORIGINAL probe order:
+      counts_leq — #build keys <= probe key
+      eq         — build key at counts_leq-1 == probe (match on the
+                   upper-bound side)
+      val_prev   — build_vals[counts_leq-1]  (unique-key match value)
+      val_next   — build_vals[counts_leq]    (first-match value when the
+                   counts counted strictly-less keys)
     """
-    nb = build_keys_sorted.shape[0]
-    m = probe_keys.shape[0]
+    nl = len(build_limbs)
+    nb = build_limbs[0].shape[0]
+    m = probe_limbs[0].shape[0]
     nt = nb + m
-    pallas_ok = (use_pallas and 2 * nt < 2 ** 31
-                 and keymod.num_limbs(build_keys_sorted.dtype) == 1
-                 and jnp.dtype(build_vals_sorted.dtype).itemsize == 4)
-    if pallas_ok:
-        bl = keymod.to_limbs(build_keys_sorted)[0]
-        plimb = keymod.to_limbs(probe_keys)[0]
-        limb = jnp.concatenate([bl, plimb])
+    limb_cols = tuple(jnp.concatenate([b, p])
+                      for b, p in zip(build_limbs, probe_limbs))
+    if use_pallas:
         # merged id: dims 0, probes m + src — sorts dims first among equal
         # keys and carries the probe source index in one column
         merged = jnp.concatenate([
             jnp.zeros((nb,), jnp.int32),
             jnp.int32(m) + jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
-        slimb, smerged = psort.sort_i32_cols((limb, merged))
+        out1 = psort.sort_i32_cols((*limb_cols, merged))
+        s_limbs, smerged = out1[:nl], out1[nl]
         st_probe = (smerged >= m).astype(jnp.int32)
-        # compact probe rows to the front, merged order preserved
         comb = psort.flag_pos_key(jnp.int32(1) - st_probe, nt)
         scomb, smerged2 = psort.sort_i32_cols((comb, smerged))
-        probe_pos = scomb[:m]          # == merged position for probes
+        probe_pos = scomb[:m]
         probe_src = smerged2[:m] - jnp.int32(m)
-        rank = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-        dims_before = probe_pos - rank  # count of dims with key <= probe
-        idx = jnp.clip(dims_before - 1, 0, nb - 1)
-        pk_sorted = jnp.take(slimb, probe_pos)   # monotone gather
-        found_s = (jnp.take(bl, idx) == pk_sorted) & (dims_before > 0)
-        val_s = jnp.take(psort.as_i32(build_vals_sorted), idx)
-        # back to original probe order; found rides the low bit of the key
-        key3 = probe_src * 2 + found_s.astype(jnp.int32)
-        skey3, sval = psort.sort_i32_cols((key3, val_s))
-        return ((skey3 & 1) > 0,
-                psort.from_i32(sval, build_vals_sorted.dtype))
-
-    keys = jnp.concatenate([build_keys_sorted, probe_keys])
-    tag = jnp.concatenate([jnp.zeros((nb,), jnp.int32),
-                           jnp.ones((m,), jnp.int32)])
-    srcs = jnp.concatenate([
-        jnp.zeros((nb,), jnp.int32),
-        jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
-    sk, st, ssrc = jax.lax.sort([keys, tag, srcs], num_keys=2)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (nb + m,), 0)
-    # compact the probe rows to the front, merged order preserved
-    _, probe_pos, probe_src = jax.lax.sort(
-        [1 - st, pos, ssrc], num_keys=1, is_stable=True)
-    probe_pos = probe_pos[:m]
-    probe_src = probe_src[:m]
+    else:
+        tag = jnp.concatenate([jnp.zeros((nb,), jnp.int32),
+                               jnp.ones((m,), jnp.int32)])
+        srcs = jnp.concatenate([
+            jnp.zeros((nb,), jnp.int32),
+            jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
+        out1 = jax.lax.sort([*limb_cols, tag, srcs], num_keys=nl + 1)
+        s_limbs, st, ssrc = out1[:nl], out1[nl], out1[nl + 1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (nt,), 0)
+        _, probe_pos, probe_src = jax.lax.sort(
+            [1 - st, pos, ssrc], num_keys=1, is_stable=True)
+        probe_pos = probe_pos[:m]
+        probe_src = probe_src[:m]
     rank = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-    dims_before = probe_pos - rank          # count of dims with key <= probe
-    idx = jnp.clip(dims_before - 1, 0, nb - 1)
-    pk_sorted = jnp.take(sk, probe_pos)     # monotone gather
-    found_s = (jnp.take(build_keys_sorted, idx) == pk_sorted) \
-        & (dims_before > 0)
-    val_s = jnp.take(build_vals_sorted, idx)  # monotone gather
-    # back to original probe order
-    _, found, vals = jax.lax.sort(
-        [probe_src, found_s.astype(jnp.int32), val_s], num_keys=1)
-    return found > 0, vals
+    counts = probe_pos - rank              # build keys <= probe key
+    idx = jnp.clip(counts - 1, 0, nb - 1)
+    nxt = jnp.clip(counts, 0, nb - 1)
+    val_prev = jnp.take(build_vals_i32, idx)   # monotone gathers
+    val_next = jnp.take(build_vals_i32, nxt)
+    eq = counts > 0
+    for bl, sl in zip(build_limbs, s_limbs):
+        eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
+    # back to original probe order; eq rides the low bit of the key
+    key3 = probe_src * 2 + eq.astype(jnp.int32)
+    if use_pallas:
+        skey3, rc, rvp, rvn = psort.sort_i32_cols(
+            (key3, counts, val_prev, val_next))
+    else:
+        skey3, rc, rvp, rvn = jax.lax.sort(
+            [key3, counts, val_prev, val_next], num_keys=1)
+    return rc, (skey3 & 1) > 0, rvp, rvn
+
+
+def _limbs_minus_one(limbs):
+    """key - 1 in normalized limb space; also returns the is-minimum mask."""
+    if len(limbs) == 1:
+        lo = limbs[0]
+        is_min = lo == jnp.int32(_I32_MIN)
+        return (jnp.where(is_min, lo, lo - 1),), is_min
+    hi, lo = limbs
+    lo_min = lo == jnp.int32(_I32_MIN)
+    new_lo = jnp.where(lo_min, jnp.int32(_I32_MAX), lo - 1)
+    new_hi = jnp.where(lo_min, hi - 1, hi)
+    is_min = lo_min & (hi == jnp.int32(_I32_MIN))
+    return (jnp.where(is_min, hi, new_hi),
+            jnp.where(is_min, lo, new_lo)), is_min
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
+                  use_pallas: bool = True):
+    """Unique-build-key probe: (found, vals) per probe row."""
+    bl = tuple(keymod.to_limbs(build_keys_sorted))
+    plimbs = tuple(keymod.to_limbs(probe_keys))
+    vals_i32 = psort.as_i32(build_vals_sorted)
+    _, eq, val_prev, _ = _merge_rank(bl, vals_i32, plimbs,
+                                     use_pallas=use_pallas)
+    return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
+                        use_pallas: bool = True):
+    """Non-unique-build-key probe: (match_count, first_vals) per probe.
+
+    Upper bound (#build <= key) from one merge-rank pass; lower bound
+    (#build < key) = #build <= key-1 in integer limb space from a second
+    pass on key-1 (key == limb minimum short-circuits to 0). The first
+    match value sits at the lower bound — the second pass's val_next.
+    """
+    bl = tuple(keymod.to_limbs(build_keys_sorted))
+    plimbs = tuple(keymod.to_limbs(probe_keys))
+    vals_i32 = psort.as_i32(build_vals_sorted)
+    ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
+    pm1, is_min = _limbs_minus_one(plimbs)
+    lb, _, _, val_at_lb = _merge_rank(bl, vals_i32, pm1,
+                                      use_pallas=use_pallas)
+    lb = jnp.where(is_min, 0, lb)
+    # minimum-key probes: lb pass ran on the unchanged key, so its
+    # val_next points past the match run — the first match is slot 0
+    val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
+    count = ub - lb
+    return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,30 +161,56 @@ def _default_build_sorter(dtype, use_pallas: bool):
 
 
 def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
-              sorter=None, use_pallas: bool = True):
-    """Inner join probe: for each probe key, the matching build value.
+              sorter=None, use_pallas: bool = True,
+              unique_build: bool = True, join_type: str = "inner"):
+    """Equi-join probe of the fact side against the build side.
 
     Args:
-      build_keys: unique keys of the build (dimension) side.
-      build_vals: values carried per build key.
+      build_keys: keys of the build (dimension) side.
+      build_vals: values carried per build key (4-byte for the Pallas
+        probe path; 64-bit values fall back to lax.sort).
       probe_keys: fact-side keys to look up.
       build_sorted: set True when build_keys are already ascending.
       sorter: registry Sorter for the build side (defaults to the Pallas
         "abitonic" for 4-byte keys, else "xla").
       use_pallas: run the probe sorts through the Pallas bitonic.
+      unique_build: build keys are unique (dimension-table case).
+      join_type: "inner" | "semi" | "anti".
 
     Returns:
-      (found, vals): bool mask of matches and the joined values
-      (undefined where not found).
+      inner + unique_build: (found, vals) — vals undefined where not
+        found.
+      inner + not unique_build: (match_count, first_vals) — the value of
+        the FIRST match in build-key-sorted order (full expansion has no
+        static shape; bound it with match_count).
+      semi: bool mask of probes with >= 1 match.
+      anti: bool mask of probes with no match.
     """
+    if join_type not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown join_type {join_type!r}")
+    if use_pallas and jnp.dtype(build_vals.dtype).itemsize != 4:
+        use_pallas = False
     if not build_sorted:
         if sorter is None:
             sorter = _default_build_sorter(jnp.dtype(build_keys.dtype).name,
                                            use_pallas)
         build_keys, build_vals = sorter.sort_with_device_data(
             build_keys, build_vals)
-    return _probe_sorted(build_keys, build_vals, probe_keys,
-                         use_pallas=use_pallas)
+    if unique_build:
+        found, vals = _probe_sorted(build_keys, build_vals, probe_keys,
+                                    use_pallas=use_pallas)
+    else:
+        count, vals = _probe_sorted_multi(build_keys, build_vals,
+                                          probe_keys,
+                                          use_pallas=use_pallas)
+        found = count > 0
+    if join_type == "semi":
+        return found
+    if join_type == "anti":
+        return jnp.logical_not(found)
+    if unique_build:
+        return found, vals
+    return count, vals
 
 
 @functools.partial(jax.jit, static_argnames=("table_bits",))

@@ -30,13 +30,20 @@ def _key_partition(keys, n_chips: int):
 
 def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
                    capacity_build: int, capacity_probe: int,
-                   axis: str = DATA_AXIS):
-    """Inner equi-join of row-sharded relations (unique build keys).
+                   axis: str = DATA_AXIS, unique_build: bool = True,
+                   join_type: str = "inner"):
+    """Equi-join of row-sharded relations.
 
     capacity_* bound rows per (source chip -> partition) bucket in the two
-    shuffles (static shapes). Returns (found, vals) row-sharded and aligned
-    with probe_keys' original layout.
+    shuffles (static shapes). All outputs are row-sharded and aligned with
+    probe_keys' original layout:
+      inner + unique_build:     (found, vals)
+      inner + not unique_build: (match_count, first_vals) — value of the
+        first match in build-key order (bounded-output compromise)
+      semi / anti:              the match / no-match mask alone
     """
+    if join_type not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown join_type {join_type!r}")
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
@@ -87,10 +94,15 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
         skey = jnp.where(svalid, skey, maxk)
 
         pkey = pkl.reshape(-1)
-        idx = jnp.searchsorted(skey, pkey)
-        idx = jnp.minimum(idx, skey.shape[0] - 1)
-        hit = (jnp.take(skey, idx) == pkey) & jnp.take(svalid, idx) \
-            & valid_p.reshape(-1)
+        nv = jnp.sum(bc, dtype=jnp.int32)  # valid build rows (prefix)
+        idx_l = jnp.searchsorted(skey, pkey, side="left").astype(jnp.int32)
+        idx_r = jnp.searchsorted(skey, pkey, side="right").astype(jnp.int32)
+        # clip to the valid prefix: probes equal to the maxk fill must not
+        # count the invalid fill slots
+        cnt = (jnp.minimum(idx_r, nv) - jnp.minimum(idx_l, nv)) \
+            * valid_p.reshape(-1).astype(jnp.int32)
+        idx = jnp.minimum(idx_l, skey.shape[0] - 1)
+        hit = cnt > 0
         val = jnp.take(sval, idx)
 
         # 4. send (gidx, found, val) back to the origin chip
@@ -118,7 +130,7 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
                 concat_axis=0, tiled=False).reshape(-1)
 
         rg = route(g, jnp.int32)
-        rhit = route(hit.astype(jnp.int32), jnp.int32)
+        rcnt = route(cnt, jnp.int32)
         rval = route(val, val.dtype)
         # mark empty return slots: route a validity flag too
         rvalid = route(jnp.ones((m,), jnp.int32), jnp.int32)
@@ -127,14 +139,21 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
         local_rows = shard_len
         li = rg % local_rows
         li = jnp.where(rvalid > 0, li, local_rows)  # drop empty slots
-        found_out = jnp.zeros((local_rows,), jnp.bool_).at[li].set(
-            rhit > 0, mode="drop")
+        cnt_out = jnp.zeros((local_rows,), jnp.int32).at[li].set(
+            rcnt, mode="drop")
         vals_out = jnp.zeros((local_rows,), rval.dtype).at[li].set(
             rval, mode="drop")
-        return found_out, vals_out
+        return cnt_out, vals_out
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis)), check_vma=False)
     sharding = NamedSharding(mesh, P(axis))
-    return fn(*(jax.device_put(a, sharding)
-                for a in (bcounts, bk, bv, pcounts, pk, pg)))
+    cnt, vals = fn(*(jax.device_put(a, sharding)
+                     for a in (bcounts, bk, bv, pcounts, pk, pg)))
+    if join_type == "semi":
+        return cnt > 0
+    if join_type == "anti":
+        return cnt == 0
+    if unique_build:
+        return cnt > 0, vals
+    return cnt, vals

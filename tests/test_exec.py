@@ -185,3 +185,70 @@ def test_hash_join_float_vals_pallas():
     found, vals = np.asarray(found), np.asarray(vals)
     np.testing.assert_array_equal(found, fact < 64)
     np.testing.assert_array_equal(vals[found], dim_vals[fact[found]])
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_hash_join_non_unique(use_pallas):
+    """Duplicate build keys: (match_count, first_val in sorted order)."""
+    rng = np.random.RandomState(12)
+    build = rng.randint(0, 64, size=500).astype(np.uint32)
+    bvals = np.arange(500, dtype=np.int32)
+    probe = rng.randint(0, 80, size=700).astype(np.uint32)
+    count, fv = ex.hash_join(jnp.asarray(build), jnp.asarray(bvals),
+                             jnp.asarray(probe), unique_build=False,
+                             use_pallas=use_pallas)
+    count, fv = np.asarray(count), np.asarray(fv)
+    order = np.argsort(build, kind="stable")
+    sb, sv = build[order], bvals[order]
+    for i in range(len(probe)):
+        matches = sv[sb == probe[i]]
+        assert count[i] == len(matches), i
+        if len(matches):
+            assert fv[i] == matches[0], i
+
+
+def test_hash_join_non_unique_extreme_keys():
+    """Duplicates at the limb minimum and maximum."""
+    build = np.array([0, 0, 0, 5, 5, 0xFFFFFFFF, 0xFFFFFFFF], np.uint32)
+    bvals = np.arange(7, dtype=np.int32) + 10
+    probe = np.array([0, 5, 7, 0xFFFFFFFF], np.uint32)
+    count, fv = ex.hash_join(jnp.asarray(build), jnp.asarray(bvals),
+                             jnp.asarray(probe), build_sorted=True,
+                             unique_build=False)
+    np.testing.assert_array_equal(np.asarray(count), [3, 2, 0, 2])
+    fv = np.asarray(fv)
+    assert fv[0] == 10 and fv[1] == 13 and fv[3] == 15
+
+
+@pytest.mark.parametrize("jt,expect_fn", [
+    ("semi", lambda f: f), ("anti", lambda f: ~f)])
+def test_hash_join_semi_anti(jt, expect_fn):
+    rng = np.random.RandomState(13)
+    dim = np.unique(rng.randint(0, 1000, size=200).astype(np.uint32))
+    dv = dim.astype(np.int32)
+    probe = rng.randint(0, 1500, size=400).astype(np.uint32)
+    mask = ex.hash_join(jnp.asarray(dim), jnp.asarray(dv),
+                        jnp.asarray(probe), join_type=jt)
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  expect_fn(np.isin(probe, dim)))
+
+
+def test_hash_join_u64_keys():
+    """64-bit keys ride two limbs through the Pallas probe."""
+    rng = np.random.RandomState(14)
+    dim = np.unique((rng.randint(0, 1 << 30, size=100).astype(np.uint64)
+                     << np.uint64(33)) | np.uint64(1))
+    dim[0] = np.uint64(2**64 - 1)
+    dim = np.unique(dim)
+    dv = np.arange(len(dim), dtype=np.int32)
+    probe = np.concatenate([dim[rng.randint(0, len(dim), size=300)],
+                            rng.randint(0, 1000, size=50).astype(np.uint64)])
+    found, vals = ex.hash_join(jnp.asarray(dim), jnp.asarray(dv),
+                               jnp.asarray(probe))
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(probe, dim)
+    np.testing.assert_array_equal(found, expect)
+    sdim = np.sort(dim)
+    lut = {int(k): i for i, k in enumerate(sdim)}
+    for i in np.nonzero(expect)[0]:
+        assert vals[i] == lut[int(probe[i])]

@@ -258,3 +258,31 @@ def test_dist_sort_sample_signed_keys(mesh8):
     buf = np.asarray(buf).reshape(8, -1)
     got = np.concatenate([buf[c, :totals[c]] for c in range(8)])
     np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_dist_hash_join_non_unique_and_semi(mesh8):
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    rng = np.random.RandomState(34)
+    build = rng.randint(0, 32, size=8 * 32).astype(np.uint32)
+    bvals = (build * 100).astype(np.int32)  # value determined by key
+    probe = rng.randint(0, 48, size=8 * 64).astype(np.uint32)
+    cnt, fv = dist_hash_join(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe), mesh8,
+        capacity_build=len(build), capacity_probe=len(probe),
+        unique_build=False)
+    cnt, fv = np.asarray(cnt), np.asarray(fv)
+    for i in range(len(probe)):
+        assert cnt[i] == (build == probe[i]).sum(), i
+        if cnt[i]:
+            assert fv[i] == probe[i] * 100, i
+    semi = dist_hash_join(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe), mesh8,
+        capacity_build=len(build), capacity_probe=len(probe),
+        join_type="semi")
+    np.testing.assert_array_equal(np.asarray(semi), np.isin(probe, build))
+    anti = dist_hash_join(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe), mesh8,
+        capacity_build=len(build), capacity_probe=len(probe),
+        join_type="anti")
+    np.testing.assert_array_equal(np.asarray(anti), ~np.isin(probe, build))
