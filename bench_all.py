@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""All BASELINE.json benchmark configs at size, one JSON line each.
+
+The reproducing command VERDICT r1 asked for (item 8). Configs
+(BASELINE.md):
+  1. 1M-uint32 bitonic sort             -> abitonic Mkeys/s
+  2. 16M uint64 KV radix-class sort     -> abitonic KV Mpairs/s
+  3. 64M-row prefix-sum filter @10%     -> filter_compact Mrows/s
+  4. 256M-row / 1M-group hash aggregate -> group_aggregate_sorted Mrows/s
+  5. distributed hash join              -> single-chip 16M x 1M probe
+     (the 1B x 100M / 4-host config needs hardware this image lacks; the
+     multi-chip path is validated on the virtual mesh by
+     __graft_entry__.dryrun_multichip)
+
+Each line carries achieved GB/s and roofline fraction where a bytes model
+exists (bench/roofline.py). Run on the TPU: `python bench_all.py`.
+Scale down for smoke tests: `python bench_all.py --scale 8` divides every
+row count by 8.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def _timed(fn, args, runs, sync):
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / runs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=1,
+                    help="divide all row counts by this (smoke testing)")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args(argv)
+    import numpy as np
+    import jax
+    from cl_ops_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
+    jax.config.update("jax_enable_x64", True)  # u64 keys in config 2
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from cl_ops_tpu.bench import common
+    from cl_ops_tpu.bench.roofline import roofline_row
+    from cl_ops_tpu.ops import exec as ex
+    from cl_ops_tpu.ops import sort as sort_mod
+    from cl_ops_tpu.ops.exec import psort
+    from cl_ops_tpu.ops.sort.bitonic import abitonic_traffic_bytes
+
+    sync = common.default_sync()
+    sc = args.scale
+    runs = args.runs
+    rows = []
+
+    def emit(metric, value, unit, seconds=None, bytes_moved=None):
+        row = {"metric": metric, "value": round(value, 1), "unit": unit}
+        if seconds is not None and bytes_moved is not None:
+            row.update(roofline_row(bytes_moved, seconds))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. 1M u32 sort
+    n = (1 << 20) // sc
+    x = jnp.asarray(common.rand_array(np.uint32, n, 1))
+    s = sort_mod.sort_new("abitonic")
+    dt = _timed(s.sort_with_device_data, (x,), runs, sync)
+    assert bool(np.all(np.diff(np.asarray(
+        s.sort_with_device_data(x)).astype(np.int64)) >= 0))
+    emit("sort_u32_1M", n / dt / 1e6, "Mkeys/s", dt,
+         abitonic_traffic_bytes(n, 1))
+
+    # 2. 16M u64 KV sort
+    n = (1 << 24) // sc
+    k64 = jnp.asarray(common.rand_array(np.uint64, n, 2))
+    v32 = jnp.asarray(np.arange(n, dtype=np.int32))
+    s64 = sort_mod.sort_new("abitonic", elem_dtype="ulong")
+    dt = _timed(s64.sort_with_device_data, (k64, v32), runs, sync)
+    ok, ov = s64.sort_with_device_data(k64, v32)
+    okh = np.asarray(ok)
+    assert bool(np.all(np.diff(okh.astype(np.float64)) >= 0) or
+                np.all(okh[:-1] <= okh[1:]))
+    emit("sort_u64kv_16M", n / dt / 1e6, "Mpairs/s", dt,
+         abitonic_traffic_bytes(n, 3))
+
+    # 3. 64M filter @10%
+    n = (1 << 26) // sc
+    thresh = int(0.10 * (1 << 20))
+    xf = jnp.asarray(np.random.RandomState(3).randint(
+        0, 1 << 20, size=n).astype(np.uint32))
+
+    def pred(d):
+        return d < jnp.uint32(thresh)
+
+    fn = lambda v: ex.filter_compact(v, pred)  # noqa: E731
+    dt = _timed(fn, (xf,), runs, sync)
+    cnt, _ = fn(xf)
+    emit("filter_64M_sel10", n / dt / 1e6, "Mrows/s", dt,
+         4 * n + psort.sort_traffic_bytes(n, 2))
+
+    # 4. 256M rows / 1M groups aggregate
+    n = (1 << 28) // sc
+    groups = (1 << 20) // max(sc // 16, 1)
+    ka = jnp.asarray(np.random.RandomState(4).randint(
+        0, groups, size=n).astype(np.uint32))
+    va = jnp.asarray(np.random.RandomState(5).randint(
+        0, 100, size=n).astype(np.int32))
+
+    def agg(k, v):
+        return ex.group_aggregate_sorted(k, v, num_groups=groups)
+
+    dt = _timed(agg, (ka, va), runs, sync)
+    emit("aggregate_256M_1Mgroups", n / dt / 1e6, "Mrows/s", dt,
+         psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
+         + psort.sort_traffic_bytes(n, 1))
+
+    # 5. join probe 16M x 1M (single-chip stand-in for the dist config)
+    m = (1 << 24) // sc
+    nd = (1 << 20) // sc
+    dim = np.arange(nd, dtype=np.uint32)
+    np.random.RandomState(6).shuffle(dim)
+    dimv = (dim * 7 + 1).astype(np.uint32)
+    probe = jnp.asarray(np.random.RandomState(7).randint(
+        0, nd, size=m).astype(np.uint32))
+    sd = sort_mod.sort_new("abitonic")
+    sdk, sdv = sd.sort_with_device_data(jnp.asarray(dim), jnp.asarray(dimv))
+    jfn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
+    dt = _timed(jfn, (probe,), runs, sync)
+    nt = m + nd
+    emit("join_probe_16Mx1M", m / dt / 1e6, "Mrows/s", dt,
+         2 * psort.sort_traffic_bytes(nt, 2)
+         + psort.sort_traffic_bytes(m, 4) + 6 * 4 * m)
+
+    with open("BENCH_ALL.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
