@@ -56,22 +56,24 @@ def sort_pipeline(n: int, seed: int = 0, use_pallas: bool = False):
                    static_argnames=("n", "num_groups", "seed", "threshold",
                                     "use_pallas"))
 def analytics_query(n: int, num_groups: int = 1024, seed: int = 0,
-                    threshold: int = 512, use_pallas: bool = False):
+                    threshold: int = 512, use_pallas: bool = True):
     """SELECT key % G, SUM(value) FROM t WHERE value < threshold GROUP BY 1.
 
-    The north-star query shape: RNG scan -> predicate filter (prefix-sum
-    compaction) -> group-by aggregate.
+    The north-star query shape: RNG scan -> predicate filter (compaction
+    through the flagship Pallas bitonic) -> prefix group-by aggregate
+    (scatter-free boundary reduce over the compacted prefix). Returns the
+    table in ascending group-key order with a count of surviving rows.
     """
     keys, values = generate_table(n, seed)
     count, fvals, fkeys = flt.filter_compact(
         values, lambda v: v < jnp.uint32(threshold), keys,
         use_pallas=use_pallas)
-    # Compacted prefix is valid; mask the dropped tail out of the
-    # aggregation by sending its group ids out of range (mode="drop").
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    gids = jnp.where(idx < count,
-                     (fkeys % jnp.uint32(num_groups)).astype(jnp.int32),
-                     jnp.int32(num_groups))
-    table = agg.group_aggregate_direct(
-        gids, fvals.astype(jnp.uint32), num_groups=num_groups, agg="sum")
+    gids = (fkeys % jnp.uint32(num_groups)).astype(jnp.int32)
+    gk, tbl, gcnt = agg.group_aggregate_prefix(
+        gids, fvals.astype(jnp.uint32), count, num_groups=num_groups,
+        agg="sum", use_pallas=use_pallas)
+    # re-index by group id (a num_groups-sized scatter, not an n-sized one)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
+    gk = jnp.where(slot < gcnt, gk, jnp.int32(num_groups))
+    table = jnp.zeros((num_groups,), tbl.dtype).at[gk].set(tbl, mode="drop")
     return count, table

@@ -92,6 +92,33 @@ def _sorted_aggregate_pallas(keys, values, *, num_groups: int, agg: str,
                             vals_in_key_order=True, use_pallas=use_pallas)
 
 
+@functools.partial(jax.jit, static_argnames=("num_groups", "agg",
+                                             "use_pallas"))
+def group_aggregate_prefix(keys, values, n_valid, *, num_groups: int,
+                           agg: str = "sum", use_pallas: bool = True):
+    """Aggregate only the first n_valid rows — the filter_compact composer.
+
+    filter_compact returns (count, packed...) with kept rows contiguous at
+    the front; this aggregates exactly that prefix without materializing a
+    dynamic shape: rows sort by (validity, key, value) so the valid prefix
+    is key-sorted and _boundary_reduce's n_valid machinery ignores the
+    tail. The canonical filter -> GROUP BY pipeline (BASELINE configs 3+4).
+    """
+    n = keys.shape[0]
+    kl = keymod.to_limbs(keys)
+    vl = keymod.to_limbs(values)
+    inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+           >= n_valid).astype(jnp.int32)
+    cols = (inv, *kl, *vl)
+    out = psort.sort_i32_cols(cols) if use_pallas else tuple(
+        jax.lax.sort(list(cols), num_keys=len(cols)))
+    skeys = keymod.from_limbs(list(out[1:1 + len(kl)]), keys.dtype)
+    svals = keymod.from_limbs(list(out[1 + len(kl):]), values.dtype)
+    return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg,
+                            n_valid=n_valid, vals_in_key_order=True,
+                            use_pallas=use_pallas)
+
+
 def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
                            sorter=None, use_pallas: bool = True):
     """Aggregate values by arbitrary key: sort -> boundary scan -> reduce.

@@ -24,6 +24,7 @@ kernels run under interpret mode on CPU so tests exercise the TPU code path.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -395,6 +396,12 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False,
     """
     n = x.shape[0]
     sum_dtype = jnp.dtype(sum_dtype)
+    # strategy trace (g_debug parity: blelloch worksize dumps,
+    # clo_scan_blelloch.c:160-163); fires once per compile
+    logging.getLogger("cl_ops_tpu.scan").debug(
+        "scan_1d: n=%d elem=%s sum=%s block_rows=%d single_pass=%s "
+        "interpret=%s", n, x.dtype, sum_dtype, block_rows, single_pass,
+        interpret)
 
     if sum_dtype.kind in "iu" and sum_dtype.itemsize == 8:
         br = min(block_rows, MAX_WIDE_ROWS)

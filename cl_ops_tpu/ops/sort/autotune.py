@@ -1,0 +1,122 @@
+"""On-chip strategy autotuner for the fused bitonic.
+
+Reference analog: abitonic's per-step kernel strategy — a lookup table
+plus live device probing (`src/cl_ops/sort/clo_sort_abitonic.c:58-313`,
+table at :66-133). The TPU equivalent tunes the two-tier geometry
+(block_rows, merge_rows): it measures the fused schedule over a small
+candidate grid ONCE per (rows, n_arrays, device) on the real chip and
+persists winners to a JSON cache, so later sorter objects pay nothing.
+
+Opt in with the reference-style option string: sort_new("abitonic",
+"autotune=1"). Each candidate costs a fresh kernel compile (minutes on a
+tunneled chip the first time) — the cache is the point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+_CACHE_ENV = "CL_OPS_AUTOTUNE_CACHE"
+_DEFAULT_CACHE = os.path.expanduser("~/.cl_ops_tpu_autotune.json")
+_mem_cache: dict[str, tuple[int, int]] = {}
+
+
+def _cache_path() -> str:
+    return os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
+
+
+def _load() -> dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save(d: dict) -> None:
+    try:
+        with open(_cache_path(), "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def candidate_geometries(rows: int, n_arrays: int) -> list[tuple[int, int]]:
+    """Small (block_rows, merge_rows) grid bounded by shape and VMEM."""
+    cands = []
+    for br in (256, 512):
+        if br > rows:
+            continue
+        for mult in (4, 8, 16, 32):
+            mr = min(br * mult, rows)
+            # merge kernel holds ~3 copies of n_arrays blocks; stay under
+            # the 100 MiB Mosaic budget with headroom
+            if n_arrays * mr * 128 * 4 * 3 > 96 * 1024 * 1024:
+                continue
+            if (br, mr) not in cands:
+                cands.append((br, mr))
+    if not cands:
+        br = min(512, rows)
+        cands = [(br, br)]
+    return cands
+
+
+def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
+    """Best (block_rows, merge_rows) for a padded (rows, 128) sort.
+
+    Measures each candidate on the live device with random data (3 timed
+    runs after a warmup, one tiny readback sync per batch — the tunneled-
+    chip methodology of bench/common.py). Results persist across
+    processes keyed by (device kind, rows, n_arrays).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    key = f"{kind}:{rows}x{n_arrays}"
+    if key in _mem_cache:
+        return _mem_cache[key]
+    disk = _load()
+    if key in disk:
+        br, mr = disk[key]
+        _mem_cache[key] = (br, mr)
+        return br, mr
+
+    from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+
+    data = [jnp.asarray(
+        (jnp.arange(rows * bk.LANES, dtype=jnp.int32) * 2654435761 + i)
+        .reshape(rows, bk.LANES)) for i in range(n_arrays)]
+    small = jax.jit(lambda a: a[:8, :8].astype(jnp.float32).sum())
+
+    best = None
+    for br, mr in candidate_geometries(rows, n_arrays):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("b", "m"))
+        def run(arrs, b, m):
+            return bk.bitonic_sort_2d(tuple(arrs), block_rows=b, fused=True,
+                                      merge_rows=m, interpret=False)
+        try:
+            out = run(data, br, mr)
+            float(small(out[0]))  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = run(data, br, mr)
+            float(small(out[0]))
+            dt = (time.perf_counter() - t0) / 3
+        except Exception:
+            continue
+        if best is None or dt < best[0]:
+            best = (dt, br, mr)
+    if best is None:
+        br = min(512, rows)
+        geo = (br, min(br * 4, rows))
+    else:
+        geo = (best[1], best[2])
+    _mem_cache[key] = geo
+    disk[key] = list(geo)
+    _save(disk)
+    return geo

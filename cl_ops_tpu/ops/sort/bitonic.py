@@ -19,6 +19,7 @@ kernel covering every step J < B. The `vmem` option (bytes) bounds B the way
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 
@@ -31,6 +32,11 @@ from cl_ops_tpu.utils.platform import pallas_interpret
 # i32 max: pads sort after every real key; pad payloads also get this value
 # so key-equal ties against padding resolve real-before-pad.
 _PAD = 0x7FFFFFFF
+
+# Strategy-trace logging, the g_debug parity of the reference's chosen-
+# kernel dumps (clo_sort_abitonic.c:398-409). Enable with
+# logging.getLogger("cl_ops_tpu").setLevel(logging.DEBUG).
+_log = logging.getLogger("cl_ops_tpu.sort")
 
 
 def _pick_block_rows(n_arrays: int, vmem_bytes: int) -> int:
@@ -79,44 +85,75 @@ def abitonic_traffic_bytes(n: int, n_arrays: int,
     return bk.fused_traffic_bytes(padded, n_arrays, br, mr) + pad_bytes
 
 
+def _resolve_geometry(rows: int, n_arrays: int, options: dict,
+                      interpret: bool, fused: bool) -> tuple[int, int]:
+    """(block_rows, merge_rows) for a padded (rows, 128) problem.
+
+    Priority: explicit options > autotune cache (option "autotune=1",
+    live-device measurement, ops/sort/autotune.py) > the static VMEM
+    model — mirroring the reference's options > lookup table > localmem
+    probing order (clo_sort_abitonic.c:486-543, :58-313).
+    """
+    vmem = int(options.get("vmem", 8 * 1024 * 1024))
+    br = mr = None
+    if "block_rows" in options:
+        br = int(options["block_rows"])
+        if not is_po2(br):
+            raise ValueError("block_rows must be a power of 2")
+    if "merge_rows" in options:
+        mr = int(options["merge_rows"])
+    if fused and options.get("autotune") == "1" and not interpret \
+            and (br is None or mr is None):
+        from cl_ops_tpu.ops.sort.autotune import tune_geometry
+        abr, amr = tune_geometry(rows, n_arrays)
+        br = br if br is not None else abr
+        mr = mr if mr is not None else amr
+    if br is None:
+        br = _pick_block_rows(n_arrays, vmem)
+    br = min(br, rows)
+    if not fused:
+        return br, br
+    if mr is None:
+        mr = _pick_merge_rows(br)
+    return br, max(min(mr, rows), br)
+
+
 def _make_bitonic_sorter(fused: bool):
     def make(spec, options):
         interpret = pallas_interpret() or options.get("interpret") == "1"
-        vmem = int(options.get("vmem", 8 * 1024 * 1024))
         n_limbs = keymod.num_limbs(spec.key_dtype)
+        jit_cache: dict = {}
 
-        def fn(limbs, payload):
-            arrs = list(limbs) + ([payload] if payload is not None else [])
-            n = arrs[0].shape[0]
-            pads = [_PAD] * len(arrs)
-            arrs2d, padded = bk.pad_and_reshape(arrs, pads)
-            rows = padded // bk.LANES
-            if "block_rows" in options:
-                br = int(options["block_rows"])
-                if not is_po2(br):
-                    raise ValueError("block_rows must be a power of 2")
-            else:
-                br = _pick_block_rows(len(arrs), vmem)
-            br = min(br, rows)
-            if fused:
-                if "merge_rows" in options:
-                    mr = int(options["merge_rows"])
-                else:
-                    mr = _pick_merge_rows(br)
-                mr = max(min(mr, rows), br)
-            else:
-                mr = br
-            out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
-                                     merge_rows=mr, interpret=interpret)
-            flat = [a.reshape(-1)[:n] for a in out]
-            out_limbs = tuple(flat[:len(limbs)])
-            out_payload = flat[len(limbs)] if payload is not None else None
-            return out_limbs, out_payload
-
-        jitted = jax.jit(fn)
+        def build(br, mr):
+            def fn(limbs, payload):
+                arrs = list(limbs) + ([payload] if payload is not None
+                                      else [])
+                n = arrs[0].shape[0]
+                arrs2d, _ = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
+                out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
+                                         merge_rows=mr, interpret=interpret)
+                flat = [a.reshape(-1)[:n] for a in out]
+                out_limbs = tuple(flat[:len(limbs)])
+                out_payload = (flat[len(limbs)] if payload is not None
+                               else None)
+                return out_limbs, out_payload
+            return jax.jit(fn)
 
         def dispatch(limbs, payload):
-            return jitted(limbs, payload)
+            n_arrays = len(limbs) + (1 if payload is not None else 0)
+            n = limbs[0].shape[0]
+            rows = max(nlpo2(n), bk.MIN_ROWS * bk.LANES) // bk.LANES
+            br, mr = _resolve_geometry(rows, n_arrays, options, interpret,
+                                       fused)
+            key = (br, mr, n_arrays)
+            if key not in jit_cache:
+                _log.debug(
+                    "%s: n=%d padded_rows=%d arrays=%d block_rows=%d "
+                    "merge_rows=%d interpret=%s",
+                    "abitonic" if fused else "sbitonic", n, rows, n_arrays,
+                    br, mr, interpret)
+                jit_cache[key] = build(br, mr)
+            return jit_cache[key](limbs, payload)
 
         return dispatch
     return make

@@ -252,3 +252,22 @@ def test_hash_join_u64_keys():
     lut = {int(k): i for i, k in enumerate(sdim)}
     for i in np.nonzero(expect)[0]:
         assert vals[i] == lut[int(probe[i])]
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_prefix(use_pallas):
+    """Aggregate only the valid prefix (filter_compact composition)."""
+    rng = np.random.RandomState(15)
+    keys = rng.randint(0, 20, size=1000).astype(np.int32)
+    vals = rng.randint(1, 9, size=1000).astype(np.int32)
+    n_valid = 617
+    gk, table, cnt = ex.group_aggregate_prefix(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(n_valid),
+        num_groups=32, agg="sum", use_pallas=use_pallas)
+    kv, vv = keys[:n_valid], vals[:n_valid]
+    uniq = np.unique(kv)
+    assert int(cnt) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uniq)], uniq)
+    np.testing.assert_array_equal(
+        np.asarray(table)[:len(uniq)],
+        [vv[kv == k].sum() for k in uniq])

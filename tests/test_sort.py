@@ -188,3 +188,31 @@ def test_sort_key_value_float_values():
     got = sorted(zip(out.tolist(), vout.tolist()))
     expect = sorted(zip(x.tolist(), vals.tolist()))
     assert got == expect
+
+
+def test_autotune_candidates_and_cache(tmp_path, monkeypatch):
+    """Geometry candidates respect shape/VMEM bounds; winners persist."""
+    from cl_ops_tpu.ops.sort import autotune as at
+    cands = at.candidate_geometries(16384, 1)
+    assert all(br <= 16384 and br <= mr <= 16384 for br, mr in cands)
+    assert len(cands) >= 4
+    # tiny shapes clamp
+    assert at.candidate_geometries(8, 1) == [(8, 8)]
+    # VMEM bound prunes fat merges for many arrays
+    fat = at.candidate_geometries(1 << 15, 4)
+    assert all(4 * mr * 128 * 4 * 3 <= 96 * 1024 * 1024 for _, mr in fat)
+    # cache: on CPU every compiled candidate fails -> fallback geometry,
+    # persisted and reused without re-measurement
+    monkeypatch.setenv(at._CACHE_ENV, str(tmp_path / "tune.json"))
+    at._mem_cache.clear()
+    geo = at.tune_geometry(64, 1)
+    assert geo == (64, 64)
+    at._mem_cache.clear()
+    assert at.tune_geometry(64, 1) == geo  # from disk
+
+
+def test_abitonic_autotune_option_interpret():
+    """autotune=1 is a no-op under interpret mode (falls to the model)."""
+    x = _rand(np.uint32, 600, 3)
+    s = sort_mod.sort_new("abitonic", "autotune=1,block_rows=8")
+    np.testing.assert_array_equal(s.sort_with_host_data(x), np.sort(x))
