@@ -498,7 +498,10 @@ def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
     params = jnp.array([k_c], jnp.int32)
 
     def imap(s, l, prm):
-        return (s, 0, l, 0, 0)
+        # s*0, not literal 0: under x64 a literal traces as i64, which the
+        # Mosaic index-map lowering rejects (same trap as _row_map).
+        z = s * 0
+        return (s, z, l, z, z)
 
     spec = pl.BlockSpec((1, 2, 1, c_rows, LANES), imap,
                         memory_space=pltpu.VMEM)

@@ -19,7 +19,19 @@ Mirrors the reference's four-phase pass structure
 
 Options: `radix=` bins per pass (pow2, default 16 — the reference default,
 `clo_sort_satradix.c:353`), `scan=` composed scan impl, `scanopt...=`
-passthrough options (parity `clo_sort_satradix.c:407-421`).
+passthrough options (parity `clo_sort_satradix.c:407-421`), and
+`scatter=` placement strategy:
+  * "xla"     — XLA unique-index scatter. Structure-exact parity with the
+    reference's satradix_scatter, but element-serialized on TPU.
+  * "bitonic" (default) — place rows by sorting (dest, rows...) through
+    the fused Pallas bitonic: dest is a permutation, so ascending dest
+    order IS the scatter. TPU has no fast random scatter; a sort-based
+    placement keeps every pass on the vector units. This is why the
+    merge/bitonic family (abitonic) remains the performance flagship on
+    this hardware: an LSD radix pass is a stable partition, and the
+    cheapest stable partition primitive on TPU is itself the bitonic —
+    so radix cannot beat the sorter it is built from (see
+    docs/DESIGN.md).
 
 Unlike the reference (pow-2 sizes only, `clo_sort_satradix.cl:41`), any
 length works — no padding is even needed since radix passes are
@@ -113,6 +125,10 @@ def _make_satradix_sorter(spec, options):
     scan_opts = {k[4:]: v for k, v in options.items()
                  if k.startswith("scan") and k != "scan"}
 
+    scatter_mode = options.get("scatter", "bitonic")
+    if scatter_mode not in ("xla", "bitonic"):
+        raise ValueError("scatter= must be 'xla' or 'bitonic'")
+
     from cl_ops_tpu.ops.scan import scan_new
     scanner = scan_new(scan_name, scan_opts or None, elem_dtype="int",
                        sum_dtype="int")
@@ -140,6 +156,10 @@ def _make_satradix_sorter(spec, options):
         elem_block = (
             jax.lax.broadcasted_iota(jnp.int32, (n,), 0) // block_elems)
         dest = jnp.take(base, digits * n_blocks + elem_block) + local_rank
+        if scatter_mode == "bitonic":
+            from cl_ops_tpu.ops.exec import psort
+            return psort.sort_i32_cols((dest, *arrs),
+                                       interpret=interpret)[1:]
         out = []
         for a in arrs:
             out.append(jnp.zeros_like(a).at[dest].set(

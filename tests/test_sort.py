@@ -16,7 +16,7 @@ ALL_IMPLS = sort_mod.sort_names()
 SMALL_OPTS = {
     "sbitonic": "block_rows=8",
     "abitonic": "block_rows=8",
-    "satradix": "block_rows=8",
+    "satradix": "block_rows=8,scatter=xla",
     "gselect": "chunk=512",
     "xla": None,
 }
@@ -216,3 +216,13 @@ def test_abitonic_autotune_option_interpret():
     x = _rand(np.uint32, 600, 3)
     s = sort_mod.sort_new("abitonic", "autotune=1,block_rows=8")
     np.testing.assert_array_equal(s.sort_with_host_data(x), np.sort(x))
+
+
+def test_satradix_bitonic_scatter():
+    """Default scatter=bitonic placement (sort-by-dest) matches np.sort."""
+    x = _rand(np.uint32, 700, 17)
+    s = sort_mod.sort_new("satradix", "block_rows=8,radix=16")
+    np.testing.assert_array_equal(s.sort_with_host_data(x), np.sort(x))
+    v = np.arange(700, dtype=np.int32)
+    sk, sv = s.sort_with_host_data(x, v)
+    np.testing.assert_array_equal(x[sv], sk)
