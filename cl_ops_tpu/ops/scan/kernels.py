@@ -209,10 +209,11 @@ def _scan_carry_kernel(x_ref, out_ref, carry_ref, *, exclusive: bool,
     incl = _block_inclusive_scan_mod32(xi)
     base = carry_ref[0]
     res = incl + base - xi if exclusive else incl + base
-    # block total as a pinned-dtype reduction (a vector-element extract of
-    # the scan tail hangs the Mosaic lowering; an unpinned jnp.sum promotes
-    # to i64 under x64) — wrapping i32 adds equal mod-2^32 semantics.
-    carry_ref[0] = base + jnp.sum(xi, dtype=jnp.int32)
+    # block total via lax.reduce (jnp.sum promotes to i64 under x64 even
+    # with a pinned dtype; a vector-element extract of the scan tail hangs
+    # the Mosaic lowering) — wrapping i32 adds equal mod-2^32 semantics.
+    carry_ref[0] = base + jax.lax.reduce(xi, jnp.int32(0), jax.lax.add,
+                                         (0, 1))
     if jnp.dtype(out_dtype).kind == "u":
         out_ref[...] = jax.lax.bitcast_convert_type(
             res, jnp.uint32).astype(out_dtype)
@@ -239,15 +240,19 @@ def _wide_scan_carry_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref,
     base_hi = carry_ref[1]
     incl_lo = word_lo + base_lo
     incl_hi = word_hi + base_hi + _ult(incl_lo, base_lo)
-    # Block totals as pinned-dtype 16-bit-half reductions with explicit
-    # scalar carries (vector-element extracts hang the Mosaic lowering).
-    # Halves stay < 2^31 for blocks <= 2^15 elements (MAX_WIDE_ROWS).
-    s_lo_l = jnp.sum(xlo & _MASK16, dtype=jnp.int32)
-    s_lo_h = jnp.sum((xlo >> 16) & _MASK16, dtype=jnp.int32)
+    # Block totals as i32 lax.reduce 16-bit-half reductions with explicit
+    # scalar carries (jnp.sum promotes under x64; vector-element extracts
+    # hang the Mosaic lowering). Halves stay < 2^31 for blocks <= 2^15
+    # elements (MAX_WIDE_ROWS).
+    def _rsum(v):
+        return jax.lax.reduce(v, jnp.int32(0), jax.lax.add, (0, 1))
+
+    s_lo_l = _rsum(xlo & _MASK16)
+    s_lo_h = _rsum((xlo >> 16) & _MASK16)
     t_lo = (s_lo_l >> 16) + s_lo_h
     blk_lo = (s_lo_l & _MASK16) | ((t_lo & _MASK16) << 16)
     blk_carry = t_lo >> 16  # lo-limb overflow into hi
-    blk_hi = jnp.sum(xhi, dtype=jnp.int32) + blk_carry
+    blk_hi = _rsum(xhi) + blk_carry
     new_lo = base_lo + blk_lo
     carry_ref[0] = new_lo
     carry_ref[1] = base_hi + blk_hi + _ult(new_lo, base_lo)
