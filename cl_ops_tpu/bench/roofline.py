@@ -23,12 +23,15 @@ import time
 
 
 @functools.lru_cache(maxsize=None)
-def stream_ceiling_gbs(mb: int = 128, depth: int = 20) -> float:
+def stream_ceiling_gbs(mb: int = 1024, depth: int = 8) -> float:
     """Measured device stream bandwidth in GB/s (read + write).
 
     An `a + 1` over an mb-MiB i32 buffer moves 2x its size per iteration;
     `depth` chained iterations amortize dispatch, one tiny reduction
-    readback forces completion.
+    readback forces completion. The buffer must be LARGE: on the tunneled
+    chip each chained call pays a ~1.3 ms dispatch floor, so small buffers
+    measure dispatch, not bandwidth (128 MiB -> 78 GB/s, 1 GiB ->
+    341 GB/s on the same chip; v5e HBM spec is 819 GB/s).
     """
     import jax
     import jax.numpy as jnp
