@@ -359,7 +359,7 @@ def scan_traffic_bytes(n: int, elem_dtype, sum_dtype,
     static_argnames=("sum_dtype", "exclusive", "block_rows", "interpret",
                      "single_pass"))
 def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False,
-            single_pass=True):
+            single_pass=False):
     """Prefix sum over a 1-D array.
 
     Args:
@@ -374,9 +374,12 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False,
       block_rows: sublane rows per grid block; block covers block_rows*128
         elements of VMEM per step.
       single_pass: integer sums run the single-kernel carry scan (2 HBM
-        sweeps — read input, write output); False keeps the 3-phase
-        base-fed design (block sums in XLA + one Pallas pass). Floats
-        always use the 3-phase path.
+        sweeps — read input, write output; the "lookback" registry impl);
+        False (default) keeps the 3-phase base-fed design (block sums in
+        XLA + one Pallas pass). Floats always use the 3-phase path. The
+        narrow (32-bit-sum) single-pass kernel currently hangs the Mosaic
+        compile on v5e (under bisection); the wide (64-bit-sum) variant is
+        hardware-validated at 1.94 GV/s.
     """
     n = x.shape[0]
     sum_dtype = jnp.dtype(sum_dtype)
