@@ -71,10 +71,12 @@ def main(argv=None):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # 1. 1M u32 sort
+    # 1. 1M u32 sort — autotuned geometry: at this size the default
+    # two-tier schedule is launch-bound; the tuner collapses it to a
+    # couple of fat launches (one-time on-chip sweep, cached per shape)
     n = (1 << 20) // sc
     x = jnp.asarray(common.rand_array(np.uint32, n, 1))
-    s = sort_mod.sort_new("abitonic")
+    s = sort_mod.sort_new("abitonic", "autotune=1")
     dt = _timed(s.sort_with_device_data, (x,), runs, sync)
     assert bool(np.all(np.diff(np.asarray(
         s.sort_with_device_data(x)).astype(np.int64)) >= 0))

@@ -60,7 +60,7 @@ def flag_pos_key(flag_i32, n: int):
 
 
 def sort_traffic_bytes(n: int, n_cols: int,
-                       vmem: int = 8 * 1024 * 1024) -> int:
+                       vmem: int = 32 * 1024 * 1024) -> int:
     """Bytes-moved model of sort_i32_cols (for roofline accounting)."""
     from cl_ops_tpu.utils.bits import nlpo2
     padded = max(nlpo2(n), bk.MIN_ROWS * bk.LANES)
@@ -72,7 +72,7 @@ def sort_traffic_bytes(n: int, n_cols: int,
     return bk.fused_traffic_bytes(padded, n_cols, br, mr) + pad_bytes
 
 
-def sort_i32_cols(cols, *, interpret=None, vmem: int = 8 * 1024 * 1024):
+def sort_i32_cols(cols, *, interpret=None, vmem: int = 32 * 1024 * 1024):
     """Sort rows ascending by lexicographic comparison of all i32 columns.
 
     Pads internally to a power of two with i32-max rows (sorted last) and
@@ -80,6 +80,11 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 8 * 1024 * 1024):
     pad fused into XLA's pipeline, not a separate sorter requirement.
 
     Returns the reordered columns (same dtypes/lengths).
+
+    The default VMEM budget is 4x the Sorter default: under the
+    conservative model multi-column sorts would shrink to 256-row blocks,
+    multiplying cross/merge levels (the 32M x 2-column probe sorts ran at
+    ~52 GB/s effective vs ~128 for the single-column flagship).
     """
     if interpret is None:
         interpret = pallas_interpret()
