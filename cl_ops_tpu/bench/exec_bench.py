@@ -127,10 +127,17 @@ def main(argv=None):
             bytes_moved = (psort.sort_traffic_bytes(n, 2)   # (key,val) sort
                            + 6 * 4 * n                       # flags + cumsum
                            + psort.sort_traffic_bytes(n, 1))  # ends compact
-        else:  # join probe: two merge-space sorts + the restore sort
+        else:  # join probe: probe sort + bitonic merge + compaction +
+            # restore (see _merge_rank)
+            from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+            from cl_ops_tpu.utils.bits import nlpo2
             nt = n + (1 << args.dim_log2)
-            bytes_moved = (2 * psort.sort_traffic_bytes(nt, 2)
-                           + psort.sort_traffic_bytes(n, 2) + 6 * 4 * n)
+            p2 = nlpo2(nt)
+            bytes_moved = (psort.sort_traffic_bytes(n, 2)      # probe sort
+                           + bk.merge_traffic_bytes(p2, 2, 512)
+                           + 4 * 4 * p2                        # rank cumsum
+                           + psort.sort_traffic_bytes(p2, 1)   # compaction
+                           + psort.sort_traffic_bytes(n, 4))   # restore
         rr = roofline_row(bytes_moved, secs / args.runs)
         extra = (f"  [{rr['gb_s']:.1f} GB/s, "
                  f"{rr['roofline_frac']:.2f} of ceiling]")

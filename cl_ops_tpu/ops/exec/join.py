@@ -52,34 +52,79 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
     nb = build_limbs[0].shape[0]
     m = probe_limbs[0].shape[0]
     nt = nb + m
+    if use_pallas:
+        # Merge-structured probe (r2): instead of fully sorting the padded
+        # build++probe concatenation (pow-2 padding nearly doubles 17M ->
+        # 32M AND a full sort is ~13x the comparator work of a merge), sort
+        # ONLY the probes, then bitonic-MERGE the two sorted runs: build
+        # ascending ++ probes descending ++ global-min pads is one bitonic
+        # sequence, and bitonic_merge_2d restores ascending order in
+        # log2(P) pair-structured passes.
+        from cl_ops_tpu.ops.sort import bitonic as _bt
+        from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+        from cl_ops_tpu.utils.bits import nlpo2
+        merged_p = jnp.int32(m) + jax.lax.broadcasted_iota(
+            jnp.int32, (m,), 0)
+        sp = psort.sort_i32_cols((*probe_limbs, merged_p))
+        sp_limbs, sp_merged = sp[:nl], sp[nl]
+        p2 = max(nlpo2(nt), bk.MIN_ROWS * bk.LANES)
+        pad = p2 - nt
+        cols = [jnp.concatenate([
+            b, jnp.flip(s), jnp.full((pad,), jnp.int32(_I32_MIN), jnp.int32)
+        ]) for b, s in zip(build_limbs, sp_limbs)]
+        # merged column: dims 0, pads -1 (pads tie-break BEFORE any real
+        # row at the limb minimum, so all pads land at the front)
+        mcol = jnp.concatenate([
+            jnp.zeros((nb,), jnp.int32), jnp.flip(sp_merged),
+            jnp.full((pad,), jnp.int32(-1), jnp.int32)])
+        rows = p2 // bk.LANES
+        br = min(_bt._pick_block_rows(nl + 1, 32 * 1024 * 1024), rows)
+        from cl_ops_tpu.utils.platform import pallas_interpret
+        interp = pallas_interpret()
+        out = bk.bitonic_merge_2d(
+            tuple(c.reshape(rows, bk.LANES) for c in (*cols, mcol)),
+            block_rows=br, interpret=interp)
+        s_limbs = tuple(o.reshape(-1) for o in out[:nl])
+        smerged_f = out[nl].reshape(-1)
+        flag = smerged_f >= m
+        rank_excl = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(
+            jnp.int32)
+        pos_f = jax.lax.broadcasted_iota(jnp.int32, (p2,), 0)
+        counts_all = pos_f - rank_excl - jnp.int32(pad)
+        # compact probe slots to the front (ONE single-column sort)
+        comb = psort.flag_pos_key(
+            jnp.int32(1) - flag.astype(jnp.int32), p2)
+        probe_pos = psort.sort_i32_cols((comb,))[0][:m]
+        counts = jnp.take(counts_all, probe_pos)  # monotone gathers below
+        probe_src = jnp.take(smerged_f, probe_pos) - jnp.int32(m)
+        idx = jnp.clip(counts - 1, 0, nb - 1)
+        nxt = jnp.clip(counts, 0, nb - 1)
+        val_prev = jnp.take(build_vals_i32, idx)
+        val_next = jnp.take(build_vals_i32, nxt)
+        eq = counts > 0
+        for bl, sl in zip(build_limbs, s_limbs):
+            eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
+        key3 = probe_src * 2 + eq.astype(jnp.int32)
+        skey3, rc, rvp, rvn = psort.sort_i32_cols(
+            (key3, counts, val_prev, val_next))
+        return rc, (skey3 & 1) > 0, rvp, rvn
+
+    # lax.sort fallback: one merged sort of the concatenation with dims
+    # tagged before equal probes, probe rows compacted to the front
     limb_cols = tuple(jnp.concatenate([b, p])
                       for b, p in zip(build_limbs, probe_limbs))
-    if use_pallas:
-        # merged id: dims 0, probes m + src — sorts dims first among equal
-        # keys and carries the probe source index in one column
-        merged = jnp.concatenate([
-            jnp.zeros((nb,), jnp.int32),
-            jnp.int32(m) + jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
-        out1 = psort.sort_i32_cols((*limb_cols, merged))
-        s_limbs, smerged = out1[:nl], out1[nl]
-        st_probe = (smerged >= m).astype(jnp.int32)
-        comb = psort.flag_pos_key(jnp.int32(1) - st_probe, nt)
-        scomb, smerged2 = psort.sort_i32_cols((comb, smerged))
-        probe_pos = scomb[:m]
-        probe_src = smerged2[:m] - jnp.int32(m)
-    else:
-        tag = jnp.concatenate([jnp.zeros((nb,), jnp.int32),
-                               jnp.ones((m,), jnp.int32)])
-        srcs = jnp.concatenate([
-            jnp.zeros((nb,), jnp.int32),
-            jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
-        out1 = jax.lax.sort([*limb_cols, tag, srcs], num_keys=nl + 1)
-        s_limbs, st, ssrc = out1[:nl], out1[nl], out1[nl + 1]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (nt,), 0)
-        _, probe_pos, probe_src = jax.lax.sort(
-            [1 - st, pos, ssrc], num_keys=1, is_stable=True)
-        probe_pos = probe_pos[:m]
-        probe_src = probe_src[:m]
+    tag = jnp.concatenate([jnp.zeros((nb,), jnp.int32),
+                           jnp.ones((m,), jnp.int32)])
+    srcs = jnp.concatenate([
+        jnp.zeros((nb,), jnp.int32),
+        jax.lax.broadcasted_iota(jnp.int32, (m,), 0)])
+    out1 = jax.lax.sort([*limb_cols, tag, srcs], num_keys=nl + 1)
+    s_limbs, st, ssrc = out1[:nl], out1[nl], out1[nl + 1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nt,), 0)
+    _, probe_pos, probe_src = jax.lax.sort(
+        [1 - st, pos, ssrc], num_keys=1, is_stable=True)
+    probe_pos = probe_pos[:m]
+    probe_src = probe_src[:m]
     rank = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
     counts = probe_pos - rank              # build keys <= probe key
     idx = jnp.clip(counts - 1, 0, nb - 1)
@@ -91,12 +136,8 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
         eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
     # back to original probe order; eq rides the low bit of the key
     key3 = probe_src * 2 + eq.astype(jnp.int32)
-    if use_pallas:
-        skey3, rc, rvp, rvn = psort.sort_i32_cols(
-            (key3, counts, val_prev, val_next))
-    else:
-        skey3, rc, rvp, rvn = jax.lax.sort(
-            [key3, counts, val_prev, val_next], num_keys=1)
+    skey3, rc, rvp, rvn = jax.lax.sort(
+        [key3, counts, val_prev, val_next], num_keys=1)
     return rc, (skey3 & 1) > 0, rvp, rvn
 
 

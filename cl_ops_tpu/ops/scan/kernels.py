@@ -467,8 +467,10 @@ def _scan_1d_carry(x, sum_dtype, exclusive, block_rows, interpret):
         out_shape=jax.ShapeDtypeStruct((n_blocks * block_rows, LANES),
                                        jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        # No dimension_semantics: ("arbitrary",) hangs the Mosaic compile
+        # of this kernel on v5e (bisected — variant C with the default
+        # semantics compiles and runs correctly). Grid steps execute in
+        # order on the single v5e core, preserving the serial carry.
         interpret=interpret,
     )(x2)
     res = out.reshape(-1)[:n]
@@ -495,8 +497,7 @@ def _scan_1d_wide_carry(x, sum_dtype, exclusive, block_rows, interpret):
             jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        # default dimension semantics — see _scan_1d_carry
         interpret=interpret,
     )(lo2, hi2)
     return _from_limbs(out_lo.reshape(-1), out_hi.reshape(-1), sum_dtype)

@@ -650,6 +650,14 @@ def fused_traffic_bytes(n_padded: int, n_arrays: int, block_rows: int,
     return b
 
 
+def merge_traffic_bytes(n_padded: int, n_arrays: int,
+                        block_rows: int) -> int:
+    """HBM bytes of bitonic_merge_2d (pair crosses + one merge pass)."""
+    per = n_padded * 4 * n_arrays
+    levels = max(log2_floor(n_padded // (block_rows * LANES)), 0)
+    return (levels + 1) * 2 * per
+
+
 def pad_and_reshape(arrs, pad_values, min_rows=MIN_ROWS):
     """Pad 1-D arrays to a shared po2 length >= min_rows*128, reshape 2D."""
     n = arrs[0].shape[0]
