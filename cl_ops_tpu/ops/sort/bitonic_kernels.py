@@ -654,7 +654,7 @@ def merge_traffic_bytes(n_padded: int, n_arrays: int,
                         block_rows: int) -> int:
     """HBM bytes of bitonic_merge_2d (pair crosses + one merge pass)."""
     per = n_padded * 4 * n_arrays
-    levels = max(log2_floor(n_padded // (block_rows * LANES)), 0)
+    levels = log2_floor(max(n_padded // (block_rows * LANES), 1))
     return (levels + 1) * 2 * per
 
 

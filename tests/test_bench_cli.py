@@ -73,3 +73,21 @@ def test_exec_bench_cli(capsys):
         rc = exec_bench.main(["--op", op, "-n", "12", "-r", "1"] + extra)
         assert rc == 0
         assert op in capsys.readouterr().out
+
+
+def test_bench_all_smoke(capsys, tmp_path, monkeypatch):
+    """bench_all emits one JSON line per BASELINE config + BENCH_ALL.json."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench_all
+    monkeypatch.chdir(tmp_path)
+    rc = bench_all.main(["--scale", "4096", "--runs", "1"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip()
+             .split("\n") if l.startswith("{")]
+    metrics = {l["metric"] for l in lines}
+    assert metrics == {"sort_u32_1M", "sort_u64kv_16M", "filter_64M_sel10",
+                       "aggregate_256M_1Mgroups", "join_probe_16Mx1M"}
+    assert (tmp_path / "BENCH_ALL.json").exists()
