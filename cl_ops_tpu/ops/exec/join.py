@@ -28,7 +28,72 @@ _I32_MIN = -0x80000000
 _I32_MAX = 0x7FFFFFFF
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@jax.jit
+def _jit_sort_cols(cols):
+    """Jitted wrapper around psort.sort_i32_cols — its own XLA module.
+
+    The probe pipeline is staged into three separately-jitted pieces
+    (probe sort / merge+rank / restore): one module holding the whole
+    ~90-pallas_call pipeline OOM-kills the remote Mosaic compile helper
+    (~60 calls per module is fine — the aggregate's module size).
+    """
+    return psort.sort_i32_cols(cols)
+
+
+@jax.jit
+def _merge_stage(build_limbs, build_vals_i32, sp_limbs, sp_merged):
+    """Merge + rank + gathers: everything between the two probe sorts.
+
+    Inputs: sorted probe limb columns + their merged ids (m + src).
+    Returns per SORTED probe: (key3 = src*2 + eq, counts, val_prev,
+    val_next) ready for the restore sort.
+    """
+    from cl_ops_tpu.ops.sort import bitonic as _bt
+    from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+    from cl_ops_tpu.utils.bits import nlpo2
+    from cl_ops_tpu.utils.platform import pallas_interpret
+    nl = len(build_limbs)
+    nb = build_limbs[0].shape[0]
+    m = sp_merged.shape[0]
+    nt = nb + m
+    p2 = max(nlpo2(nt), bk.MIN_ROWS * bk.LANES)
+    pad = p2 - nt
+    # build asc ++ probes desc ++ global-min pads = one bitonic sequence
+    cols = [jnp.concatenate([
+        b, jnp.flip(s), jnp.full((pad,), jnp.int32(_I32_MIN), jnp.int32)
+    ]) for b, s in zip(build_limbs, sp_limbs)]
+    # merged column: dims 0, pads -1 (pads tie-break BEFORE any real row
+    # at the limb minimum, so all pads land at the front)
+    mcol = jnp.concatenate([
+        jnp.zeros((nb,), jnp.int32), jnp.flip(sp_merged),
+        jnp.full((pad,), jnp.int32(-1), jnp.int32)])
+    rows = p2 // bk.LANES
+    br = min(_bt._pick_block_rows(nl + 1, 16 * 1024 * 1024), 512, rows)
+    out = bk.bitonic_merge_2d(
+        tuple(c.reshape(rows, bk.LANES) for c in (*cols, mcol)),
+        block_rows=br, interpret=pallas_interpret())
+    s_limbs = tuple(o.reshape(-1) for o in out[:nl])
+    smerged_f = out[nl].reshape(-1)
+    flag = smerged_f >= m
+    rank_excl = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(jnp.int32)
+    pos_f = jax.lax.broadcasted_iota(jnp.int32, (p2,), 0)
+    counts_all = pos_f - rank_excl - jnp.int32(pad)
+    # compact probe slots to the front (ONE single-column sort)
+    comb = psort.flag_pos_key(jnp.int32(1) - flag.astype(jnp.int32), p2)
+    probe_pos = psort.sort_i32_cols((comb,))[0][:m]
+    counts = jnp.take(counts_all, probe_pos)  # monotone gathers below
+    probe_src = jnp.take(smerged_f, probe_pos) - jnp.int32(m)
+    idx = jnp.clip(counts - 1, 0, nb - 1)
+    nxt = jnp.clip(counts, 0, nb - 1)
+    val_prev = jnp.take(build_vals_i32, idx)
+    val_next = jnp.take(build_vals_i32, nxt)
+    eq = counts > 0
+    for bl, sl in zip(build_limbs, s_limbs):
+        eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
+    key3 = probe_src * 2 + eq.astype(jnp.int32)
+    return key3, counts, val_prev, val_next
+
+
 def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
                 use_pallas: bool = True):
     """Counts-and-gathers core of the merge-join probe.
@@ -56,61 +121,29 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
         # Merge-structured probe (r2): instead of fully sorting the padded
         # build++probe concatenation (pow-2 padding nearly doubles 17M ->
         # 32M AND a full sort is ~13x the comparator work of a merge), sort
-        # ONLY the probes, then bitonic-MERGE the two sorted runs: build
-        # ascending ++ probes descending ++ global-min pads is one bitonic
-        # sequence, and bitonic_merge_2d restores ascending order in
-        # log2(P) pair-structured passes.
-        from cl_ops_tpu.ops.sort import bitonic as _bt
-        from cl_ops_tpu.ops.sort import bitonic_kernels as bk
-        from cl_ops_tpu.utils.bits import nlpo2
+        # ONLY the probes, bitonic-MERGE the two sorted runs (_merge_stage)
+        # and restore with one more sort. Three separately-jitted stages —
+        # see _jit_sort_cols on why.
         merged_p = jnp.int32(m) + jax.lax.broadcasted_iota(
             jnp.int32, (m,), 0)
-        sp = psort.sort_i32_cols((*probe_limbs, merged_p))
-        sp_limbs, sp_merged = sp[:nl], sp[nl]
-        p2 = max(nlpo2(nt), bk.MIN_ROWS * bk.LANES)
-        pad = p2 - nt
-        cols = [jnp.concatenate([
-            b, jnp.flip(s), jnp.full((pad,), jnp.int32(_I32_MIN), jnp.int32)
-        ]) for b, s in zip(build_limbs, sp_limbs)]
-        # merged column: dims 0, pads -1 (pads tie-break BEFORE any real
-        # row at the limb minimum, so all pads land at the front)
-        mcol = jnp.concatenate([
-            jnp.zeros((nb,), jnp.int32), jnp.flip(sp_merged),
-            jnp.full((pad,), jnp.int32(-1), jnp.int32)])
-        rows = p2 // bk.LANES
-        br = min(_bt._pick_block_rows(nl + 1, 32 * 1024 * 1024), rows)
-        from cl_ops_tpu.utils.platform import pallas_interpret
-        interp = pallas_interpret()
-        out = bk.bitonic_merge_2d(
-            tuple(c.reshape(rows, bk.LANES) for c in (*cols, mcol)),
-            block_rows=br, interpret=interp)
-        s_limbs = tuple(o.reshape(-1) for o in out[:nl])
-        smerged_f = out[nl].reshape(-1)
-        flag = smerged_f >= m
-        rank_excl = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(
-            jnp.int32)
-        pos_f = jax.lax.broadcasted_iota(jnp.int32, (p2,), 0)
-        counts_all = pos_f - rank_excl - jnp.int32(pad)
-        # compact probe slots to the front (ONE single-column sort)
-        comb = psort.flag_pos_key(
-            jnp.int32(1) - flag.astype(jnp.int32), p2)
-        probe_pos = psort.sort_i32_cols((comb,))[0][:m]
-        counts = jnp.take(counts_all, probe_pos)  # monotone gathers below
-        probe_src = jnp.take(smerged_f, probe_pos) - jnp.int32(m)
-        idx = jnp.clip(counts - 1, 0, nb - 1)
-        nxt = jnp.clip(counts, 0, nb - 1)
-        val_prev = jnp.take(build_vals_i32, idx)
-        val_next = jnp.take(build_vals_i32, nxt)
-        eq = counts > 0
-        for bl, sl in zip(build_limbs, s_limbs):
-            eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
-        key3 = probe_src * 2 + eq.astype(jnp.int32)
-        skey3, rc, rvp, rvn = psort.sort_i32_cols(
+        sp = _jit_sort_cols((*probe_limbs, merged_p))
+        key3, counts, val_prev, val_next = _merge_stage(
+            tuple(build_limbs), build_vals_i32, tuple(sp[:nl]), sp[nl])
+        skey3, rc, rvp, rvn = _jit_sort_cols(
             (key3, counts, val_prev, val_next))
         return rc, (skey3 & 1) > 0, rvp, rvn
+    return _merge_rank_xla(tuple(build_limbs), build_vals_i32,
+                           tuple(probe_limbs))
 
-    # lax.sort fallback: one merged sort of the concatenation with dims
-    # tagged before equal probes, probe rows compacted to the front
+
+@jax.jit
+def _merge_rank_xla(build_limbs, build_vals_i32, probe_limbs):
+    """lax.sort fallback: one merged sort of the concatenation with dims
+    tagged before equal probes, probe rows compacted to the front."""
+    nl = len(build_limbs)
+    nb = build_limbs[0].shape[0]
+    m = probe_limbs[0].shape[0]
+    nt = nb + m
     limb_cols = tuple(jnp.concatenate([b, p])
                       for b, p in zip(build_limbs, probe_limbs))
     tag = jnp.concatenate([jnp.zeros((nb,), jnp.int32),
@@ -156,19 +189,34 @@ def _limbs_minus_one(limbs):
             jnp.where(is_min, lo, new_lo)), is_min
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@jax.jit
+def _jit_limbs(a):
+    return tuple(keymod.to_limbs(a))
+
+
+@jax.jit
+def _jit_i32(a):
+    return psort.as_i32(a)
+
+
 def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
                   use_pallas: bool = True):
-    """Unique-build-key probe: (found, vals) per probe row."""
-    bl = tuple(keymod.to_limbs(build_keys_sorted))
-    plimbs = tuple(keymod.to_limbs(probe_keys))
-    vals_i32 = psort.as_i32(build_vals_sorted)
+    """Unique-build-key probe: (found, vals) per probe row.
+
+    NOT jitted as a whole: the Pallas pipeline is staged into separate
+    modules (see _jit_sort_cols); limb/bitcast glue runs via tiny jits.
+    """
+    bl = _jit_limbs(build_keys_sorted)
+    plimbs = _jit_limbs(probe_keys)
+    vals_i32 = _jit_i32(build_vals_sorted)
     _, eq, val_prev, _ = _merge_rank(bl, vals_i32, plimbs,
                                      use_pallas=use_pallas)
     return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+_jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
+
+
 def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                         use_pallas: bool = True):
     """Non-unique-build-key probe: (match_count, first_vals) per probe.
@@ -178,11 +226,11 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
     pass on key-1 (key == limb minimum short-circuits to 0). The first
     match value sits at the lower bound — the second pass's val_next.
     """
-    bl = tuple(keymod.to_limbs(build_keys_sorted))
-    plimbs = tuple(keymod.to_limbs(probe_keys))
-    vals_i32 = psort.as_i32(build_vals_sorted)
+    bl = _jit_limbs(build_keys_sorted)
+    plimbs = _jit_limbs(probe_keys)
+    vals_i32 = _jit_i32(build_vals_sorted)
     ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
-    pm1, is_min = _limbs_minus_one(plimbs)
+    pm1, is_min = _jit_limbs_minus_one(plimbs)
     lb, _, _, val_at_lb = _merge_rank(bl, vals_i32, pm1,
                                       use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)

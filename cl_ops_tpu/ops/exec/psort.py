@@ -60,19 +60,19 @@ def flag_pos_key(flag_i32, n: int):
 
 
 def sort_traffic_bytes(n: int, n_cols: int,
-                       vmem: int = 32 * 1024 * 1024) -> int:
+                       vmem: int = 16 * 1024 * 1024) -> int:
     """Bytes-moved model of sort_i32_cols (for roofline accounting)."""
     from cl_ops_tpu.utils.bits import nlpo2
     padded = max(nlpo2(n), bk.MIN_ROWS * bk.LANES)
     rows = padded // bk.LANES
-    br = min(_bt._pick_block_rows(n_cols, vmem), rows)
+    br = min(_bt._pick_block_rows(n_cols, vmem), 512, rows)
     mr = max(min(_bt._pick_merge_rows(br), rows), br)
     # + the pre-pad copy XLA makes when padding (read n, write padded)
     pad_bytes = (n + padded) * 4 * n_cols if padded != n else 0
     return bk.fused_traffic_bytes(padded, n_cols, br, mr) + pad_bytes
 
 
-def sort_i32_cols(cols, *, interpret=None, vmem: int = 32 * 1024 * 1024):
+def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
     """Sort rows ascending by lexicographic comparison of all i32 columns.
 
     Pads internally to a power of two with i32-max rows (sorted last) and
@@ -81,10 +81,11 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 32 * 1024 * 1024):
 
     Returns the reordered columns (same dtypes/lengths).
 
-    The default VMEM budget is 4x the Sorter default: under the
-    conservative model multi-column sorts would shrink to 256-row blocks,
-    multiplying cross/merge levels (the 32M x 2-column probe sorts ran at
-    ~52 GB/s effective vs ~128 for the single-column flagship).
+    The default VMEM budget is 2x the Sorter default so 2-column sorts
+    keep 512-row blocks (at 256 rows the 32M x 2-column probe sorts ran at
+    ~52 GB/s effective vs ~128 for the single-column flagship); block_rows
+    is hard-capped at 512 — the 1024-row block-sort unroll produces an
+    MLIR module big enough to OOM the remote compile helper.
     """
     if interpret is None:
         interpret = pallas_interpret()
@@ -93,7 +94,7 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 32 * 1024 * 1024):
     arrs = [as_i32(c) for c in cols]
     arrs2d, padded = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
     rows = padded // bk.LANES
-    br = min(_bt._pick_block_rows(len(arrs), vmem), rows)
+    br = min(_bt._pick_block_rows(len(arrs), vmem), 512, rows)
     mr = max(min(_bt._pick_merge_rows(br), rows), br)
     out = bk.bitonic_sort_2d(tuple(arrs2d), block_rows=br, fused=True,
                              merge_rows=mr, interpret=interpret)

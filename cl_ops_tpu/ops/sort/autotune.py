@@ -86,8 +86,10 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
 
     from cl_ops_tpu.ops.sort import bitonic_kernels as bk
 
+    import numpy as np
     data = [jnp.asarray(
-        (jnp.arange(rows * bk.LANES, dtype=jnp.int32) * 2654435761 + i)
+        ((np.arange(rows * bk.LANES, dtype=np.uint64) * 2654435761 + i)
+         % (1 << 32)).astype(np.uint32).view(np.int32)
         .reshape(rows, bk.LANES)) for i in range(n_arrays)]
     small = jax.jit(lambda a: a[:8, :8].astype(jnp.float32).sum())
 
