@@ -497,7 +497,13 @@ def _scan_1d_wide_carry(x, sum_dtype, exclusive, block_rows, interpret):
             jax.ShapeDtypeStruct((n_blocks * block_rows, LANES), jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
-        # default dimension semantics — see _scan_1d_carry
+        # NOTE: the two carry kernels pin OPPOSITE dimension semantics —
+        # each to the configuration its Mosaic compile tolerates (bisected
+        # on chip): the narrow kernel hangs WITH ("arbitrary",), this wide
+        # kernel hangs WITHOUT it. Both execute grid steps in order on the
+        # single v5e core either way, so the serial carry is correct.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(lo2, hi2)
     return _from_limbs(out_lo.reshape(-1), out_hi.reshape(-1), sum_dtype)
