@@ -139,13 +139,13 @@ def main(argv=None):
     sdk, sdv = sd.sort_with_device_data(jnp.asarray(dim), jnp.asarray(dimv))
     jfn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
     dt = _timed(jfn, (probe,), runs, sync)
-    from cl_ops_tpu.ops.sort import bitonic_kernels as bk
-    from cl_ops_tpu.utils.bits import nlpo2
-    p2 = nlpo2(m + nd)
+    # auto strategy = banded probe (nd > DIRECT_MAX): probe sort (key+pos),
+    # one band pass, restore sort (key3, vp)
+    from cl_ops_tpu.ops.exec import bandprobe
     emit("join_probe_16Mx1M", m / dt / 1e6, "Mrows/s", dt,
-         psort.sort_traffic_bytes(m, 2) + bk.merge_traffic_bytes(p2, 2, 512)
-         + 4 * 4 * p2 + psort.sort_traffic_bytes(p2, 1)
-         + psort.sort_traffic_bytes(m, 4))
+         psort.sort_traffic_bytes(m, 2)
+         + bandprobe.band_pass_traffic_bytes(m, 1)
+         + psort.sort_traffic_bytes(m, 2))
 
     with open("BENCH_ALL.json", "w") as f:
         for r in rows:

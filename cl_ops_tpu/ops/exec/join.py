@@ -199,16 +199,78 @@ def _jit_i32(a):
     return psort.as_i32(a)
 
 
+def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
+    """Resolve "auto" to the concrete probe strategy for this build size."""
+    from cl_ops_tpu.ops.exec import bandprobe
+    if probe_impl not in ("auto", "direct", "banded", "merge"):
+        raise ValueError(f"unknown probe_impl {probe_impl!r}")
+    if probe_impl == "direct" and nb > bandprobe.DIRECT_MAX:
+        raise ValueError("build side too large for probe_impl='direct'")
+    if probe_impl != "auto":
+        return probe_impl
+    if not use_pallas:
+        return "merge"
+    return "direct" if nb <= bandprobe.DIRECT_MAX else "banded"
+
+
+def _banded_passes(bl, vals_i32, plimbs, passes):
+    """Run band probes over sorted probes; None on band overflow.
+
+    Sorts the probes ONCE (with their position as payload), runs one band
+    pass per entry of `passes` (each maps sorted limbs -> probe limbs),
+    and returns (pos_sorted, results) with results per SORTED probe.
+    """
+    from cl_ops_tpu.ops.exec import bandprobe
+    from cl_ops_tpu.utils.platform import pallas_interpret
+    m = plimbs[0].shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    sp = _jit_sort_cols((*plimbs, pos))
+    sp_limbs, spos = tuple(sp[:-1]), sp[-1]
+    interp = pallas_interpret()
+    results = []
+    for fn in passes:
+        qlimbs = fn(sp_limbs)
+        count, eq, vp, vn, ovf = bandprobe.probe_banded_sorted(
+            tuple(bl), vals_i32, tuple(qlimbs), interpret=interp)
+        if bool(ovf):  # extreme skew: window exceeded -> merge fallback
+            return None, None, None
+        results.append((count, eq, vp, vn))
+    return spos, sp_limbs, results
+
+
 def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
-                  use_pallas: bool = True):
+                  use_pallas: bool = True, probe_impl: str = "auto"):
     """Unique-build-key probe: (found, vals) per probe row.
 
-    NOT jitted as a whole: the Pallas pipeline is staged into separate
-    modules (see _jit_sort_cols); limb/bitcast glue runs via tiny jits.
+    Small build sides (<= bandprobe.DIRECT_MAX rows) take the direct band
+    kernel: binary-search counts in ORIGINAL probe order — no probe sort,
+    no restore sort. Larger builds sort the probes, band-probe them, and
+    restore with one 2-column sort (bandprobe.py); band overflow (extreme
+    skew) and use_pallas=False fall back to the merge-structured probe.
+    Pallas pipelines are staged into separate jit modules (see
+    _jit_sort_cols); limb/bitcast glue runs via tiny jits.
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
     vals_i32 = _jit_i32(build_vals_sorted)
+    strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
+                            probe_impl)
+    if strat == "direct":
+        from cl_ops_tpu.ops.exec import bandprobe
+        from cl_ops_tpu.utils.platform import pallas_interpret
+        _, eq, val_prev, _ = bandprobe.probe_direct(
+            bl, vals_i32, plimbs, interpret=pallas_interpret())
+        return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
+    if strat == "banded":
+        spos, _, res = _banded_passes(bl, vals_i32, plimbs,
+                                      [lambda s: s])
+        if res is not None:
+            _, eq, vp, _ = res[0]
+            # restore: pos rides the key with eq in the low bit
+            key3 = spos * 2 + eq.astype(jnp.int32)
+            skey3, rvp = _jit_sort_cols((key3, vp))
+            return (skey3 & 1) > 0, psort.from_i32(
+                rvp, build_vals_sorted.dtype)
     _, eq, val_prev, _ = _merge_rank(bl, vals_i32, plimbs,
                                      use_pallas=use_pallas)
     return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
@@ -218,17 +280,53 @@ _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
 
 
 def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
-                        use_pallas: bool = True):
+                        use_pallas: bool = True, probe_impl: str = "auto"):
     """Non-unique-build-key probe: (match_count, first_vals) per probe.
 
-    Upper bound (#build <= key) from one merge-rank pass; lower bound
-    (#build < key) = #build <= key-1 in integer limb space from a second
-    pass on key-1 (key == limb minimum short-circuits to 0). The first
-    match value sits at the lower bound — the second pass's val_next.
+    Upper bound (#build <= key) from one pass; lower bound (#build < key)
+    = #build <= key-1 in integer limb space from a second pass on key-1
+    (key == limb minimum short-circuits to 0). The first match value sits
+    at the lower bound — the second pass's val_next. Both passes ride the
+    band kernels when applicable (key-1 preserves sorted order, so the
+    banded path reuses one probe sort and restores once).
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
     vals_i32 = _jit_i32(build_vals_sorted)
+    strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
+                            probe_impl)
+    if strat == "direct":
+        from cl_ops_tpu.ops.exec import bandprobe
+        from cl_ops_tpu.utils.platform import pallas_interpret
+        interp = pallas_interpret()
+        ub, _, _, _ = bandprobe.probe_direct(bl, vals_i32, plimbs,
+                                             interpret=interp)
+        pm1, is_min = _jit_limbs_minus_one(plimbs)
+        lb, _, _, val_at_lb = bandprobe.probe_direct(
+            bl, vals_i32, pm1, interpret=interp)
+        lb = jnp.where(is_min, 0, lb)
+        val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
+        count = ub - lb
+        return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype)
+    if strat == "banded":
+        def minus_one(s):
+            q, _ = _jit_limbs_minus_one(tuple(s))
+            return q
+        spos, sp_limbs, res = _banded_passes(bl, vals_i32, plimbs,
+                                             [lambda s: s, minus_one])
+        if res is not None:
+            ub, _, _, _ = res[0]
+            lb, _, _, val_at_lb = res[1]
+            # the lb pass ran on key-1 of the SORTED limbs; is_min marks
+            # probes at the limb minimum (lower bound short-circuits to 0)
+            _, is_min = _jit_limbs_minus_one(tuple(sp_limbs))
+            lb = jnp.where(is_min, 0, lb)
+            val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
+            count = ub - lb
+            # restore: (pos, count, first_val) in one 3-column sort
+            rpos, rcount, rval = _jit_sort_cols((spos, count, val_at_lb))
+            return rcount, psort.from_i32(rval,
+                                          build_vals_sorted.dtype)
     ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
     pm1, is_min = _jit_limbs_minus_one(plimbs)
     lb, _, _, val_at_lb = _merge_rank(bl, vals_i32, pm1,
@@ -251,7 +349,8 @@ def _default_build_sorter(dtype, use_pallas: bool):
 
 def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
               sorter=None, use_pallas: bool = True,
-              unique_build: bool = True, join_type: str = "inner"):
+              unique_build: bool = True, join_type: str = "inner",
+              probe_impl: str = "auto"):
     """Equi-join probe of the fact side against the build side.
 
     Args:
@@ -265,6 +364,9 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
       use_pallas: run the probe sorts through the Pallas bitonic.
       unique_build: build keys are unique (dimension-table case).
       join_type: "inner" | "semi" | "anti".
+      probe_impl: "auto" (direct band kernel for small builds, sorted
+        band probe otherwise, merge fallback on band overflow) |
+        "direct" | "banded" | "merge".
 
     Returns:
       inner + unique_build: (found, vals) — vals undefined where not
@@ -287,11 +389,13 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
             build_keys, build_vals)
     if unique_build:
         found, vals = _probe_sorted(build_keys, build_vals, probe_keys,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    probe_impl=probe_impl)
     else:
         count, vals = _probe_sorted_multi(build_keys, build_vals,
                                           probe_keys,
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas,
+                                          probe_impl=probe_impl)
         found = count > 0
     if join_type == "semi":
         return found

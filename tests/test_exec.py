@@ -271,3 +271,133 @@ def test_group_aggregate_prefix(use_pallas):
     np.testing.assert_array_equal(
         np.asarray(table)[:len(uniq)],
         [vv[kv == k].sum() for k in uniq])
+
+
+@pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
+def test_hash_join_probe_impls(probe_impl):
+    """All probe strategies agree with the oracle on the same data."""
+    rng = np.random.RandomState(21)
+    dim = np.unique(rng.randint(0, 1 << 20, size=800).astype(np.uint32))
+    dv = (dim * 3 + 7).astype(np.int32)
+    probe = np.concatenate([
+        dim[rng.randint(0, len(dim), size=2000)],
+        rng.randint(1 << 20, 1 << 21, size=500).astype(np.uint32)])
+    rng.shuffle(probe)
+    found, vals = ex.hash_join(jnp.asarray(dim), jnp.asarray(dv),
+                               jnp.asarray(probe), build_sorted=True,
+                               probe_impl=probe_impl)
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(probe, dim)
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(vals[expect],
+                                  (probe[expect] * 3 + 7).astype(np.int32))
+
+
+def test_bandprobe_direct_searchsorted_parity():
+    """probe_direct == np.searchsorted(side='right') + match gathers."""
+    from cl_ops_tpu.ops.exec import bandprobe
+    rng = np.random.RandomState(22)
+    build = np.sort(rng.randint(0, 1 << 31, size=700).astype(np.int32))
+    nb = len(build)
+    vals = (np.arange(nb) * 5 + 2).astype(np.int32)
+    probe = rng.randint(0, 1 << 31, size=3000).astype(np.int32)
+    probe[:40] = build[rng.randint(0, nb, size=40)]
+    probe[40] = 0x7FFFFFFF  # key == pad sentinel: realness tie-break case
+    count, eq, vp, vn = bandprobe.probe_direct(
+        (jnp.asarray(build),), jnp.asarray(vals), (jnp.asarray(probe),),
+        interpret=True)
+    count, eq, vp, vn = (np.asarray(a) for a in (count, eq, vp, vn))
+    exp_count = np.searchsorted(build, probe, side="right")
+    np.testing.assert_array_equal(count, exp_count)
+    np.testing.assert_array_equal(eq, np.isin(probe, build))
+    np.testing.assert_array_equal(vp, vals[np.maximum(count - 1, 0)])
+    live = count < nb  # vn is undefined at count == nb
+    np.testing.assert_array_equal(vn[live], vals[count[live]])
+
+
+def test_bandprobe_direct_two_limbs():
+    from cl_ops_tpu.ops.exec import bandprobe
+    rng = np.random.RandomState(23)
+    hi = rng.randint(-5, 5, size=400).astype(np.int32)
+    lo = rng.randint(-9, 9, size=400).astype(np.int32)
+    pairs = np.unique(np.stack([hi, lo], 1), axis=0)  # lex-sorted rows
+    nb = len(pairs)
+    v = np.arange(nb, dtype=np.int32)
+    ph = rng.randint(-6, 6, size=1500).astype(np.int32)
+    plo = rng.randint(-10, 10, size=1500).astype(np.int32)
+    count, eq, vp, _ = bandprobe.probe_direct(
+        (jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])),
+        jnp.asarray(v), (jnp.asarray(ph), jnp.asarray(plo)),
+        interpret=True)
+    count, eq = np.asarray(count), np.asarray(eq)
+    key = pairs[:, 0].astype(np.int64) * 100 + pairs[:, 1]
+    pk = ph.astype(np.int64) * 100 + plo
+    np.testing.assert_array_equal(count, np.searchsorted(key, pk, "right"))
+    np.testing.assert_array_equal(eq, np.isin(pk, key))
+
+
+def test_bandprobe_banded_sorted_parity():
+    """Large-build banded pass vs searchsorted, incl. window placement.
+
+    Three full probe blocks, each clustered on a narrow slice of the
+    build key range, so every block's build span fits one window (the
+    contract; a block spanning more than PULL*WBE rows must instead
+    trip the overflow flag — see test_bandprobe_overflow_detected)
+    while the three windows land at different starts.
+    """
+    from cl_ops_tpu.ops.exec import bandprobe
+    rng = np.random.RandomState(25)
+    nb = bandprobe.DIRECT_MAX * 3 + 777   # forces multi-window starts
+    build = np.sort(rng.choice(1 << 26, size=nb, replace=False)
+                    .astype(np.int32))
+    vals = (np.arange(nb) * 3 + 1).astype(np.int32)
+    block = bandprobe.PROBE_ROWS * 128
+    lo, mid, hi = (1 << 26) // 4, (1 << 26) // 2, (1 << 26) * 3 // 4
+    probe = np.sort(np.concatenate([
+        rng.randint(0, lo // 2, size=block),
+        rng.randint(mid, mid + lo // 2, size=block),
+        rng.randint(hi, hi + lo // 2, size=block)]).astype(np.int32))
+    count, eq, vp, vn, ovf = bandprobe.probe_banded_sorted(
+        (jnp.asarray(build),), jnp.asarray(vals), (jnp.asarray(probe),),
+        interpret=True)
+    assert not bool(ovf)
+    count, eq, vp, vn = (np.asarray(a) for a in (count, eq, vp, vn))
+    exp = np.searchsorted(build, probe, side="right")
+    np.testing.assert_array_equal(count, exp)
+    np.testing.assert_array_equal(eq, np.isin(probe, build))
+    np.testing.assert_array_equal(vp, vals[np.maximum(count - 1, 0)])
+    live = count < nb
+    np.testing.assert_array_equal(vn[live], vals[count[live]])
+
+
+def test_bandprobe_overflow_detected():
+    """A probe block spanning more build rows than one window flags."""
+    from cl_ops_tpu.ops.exec import bandprobe
+    nb = bandprobe.DIRECT_MAX * 4
+    build = np.arange(nb, dtype=np.int32)
+    vals = build.copy()
+    # probes span the whole build inside one 64K block -> must overflow
+    probe = np.linspace(0, nb - 1, 70000).astype(np.int32)
+    *_, ovf = bandprobe.probe_banded_sorted(
+        (jnp.asarray(build),), jnp.asarray(vals),
+        (jnp.asarray(np.sort(probe)),), interpret=True)
+    assert bool(ovf)
+
+
+@pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
+def test_hash_join_non_unique_probe_impls(probe_impl):
+    rng = np.random.RandomState(24)
+    build = rng.randint(0, 64, size=600).astype(np.uint32)
+    bvals = np.arange(600, dtype=np.int32)
+    probe = rng.randint(0, 80, size=900).astype(np.uint32)
+    count, fv = ex.hash_join(jnp.asarray(build), jnp.asarray(bvals),
+                             jnp.asarray(probe), unique_build=False,
+                             probe_impl=probe_impl)
+    count, fv = np.asarray(count), np.asarray(fv)
+    order = np.argsort(build, kind="stable")
+    sb, sv = build[order], bvals[order]
+    for i in range(len(probe)):
+        matches = sv[sb == probe[i]]
+        assert count[i] == len(matches), i
+        if len(matches):
+            assert fv[i] == matches[0], i
