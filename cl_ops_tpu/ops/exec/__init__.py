@@ -9,8 +9,9 @@ from cl_ops_tpu.ops.exec.aggregate import (group_aggregate_direct,
                                            group_aggregate_prefix,
                                            group_aggregate_sorted)
 from cl_ops_tpu.ops.exec.filter import count_where, filter_compact
-from cl_ops_tpu.ops.exec.join import hash_join, hash_u32
+from cl_ops_tpu.ops.exec.join import (hash_join, hash_join_expand,
+                                      hash_u32)
 
 __all__ = ["count_where", "filter_compact", "group_aggregate_direct",
            "group_aggregate_prefix", "group_aggregate_sorted", "hash_join",
-           "hash_u32"]
+           "hash_join_expand", "hash_u32"]

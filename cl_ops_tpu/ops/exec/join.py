@@ -11,6 +11,8 @@ Semantics:
   * unique build keys (dimension-table case): (found, vals) per probe.
   * non-unique build keys: (match_count, first_vals) per probe — the
     bounded-output compromise (full expansion has no static shape).
+  * hash_join_expand: all matching pairs under a static capacity bound,
+    with the true total reported for overflow re-runs.
   * join_type "inner" | "semi" | "anti": semi/anti return only the mask.
 """
 
@@ -404,6 +406,116 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
     if unique_build:
         return found, vals
     return count, vals
+
+
+def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
+    """Per-SORTED-probe match ranges: (spos, ub, lb).
+
+    ub/lb are the searchsorted right/left bounds into the sorted build
+    side; rows lb..ub-1 are the probe's matches. Band strategies come out
+    in sorted order natively; the merge fallback computes in original
+    order and sorts (limbs, pos, ub, lb) once to align.
+    """
+    nb = bl[0].shape[0]
+    m = plimbs[0].shape[0]
+    strat = _probe_strategy(nb, use_pallas, probe_impl)
+    if strat in ("direct", "banded"):
+        def minus_one(s):
+            q, _ = _jit_limbs_minus_one(tuple(s))
+            return q
+        spos, sp_limbs, res = _banded_passes(bl, vals_i32, plimbs,
+                                             [lambda s: s, minus_one])
+        if res is not None:
+            ub = res[0][0]
+            lb = res[1][0]
+            _, is_min = _jit_limbs_minus_one(tuple(sp_limbs))
+            return spos, ub, jnp.where(is_min, 0, lb)
+    ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
+    pm1, is_min = _jit_limbs_minus_one(plimbs)
+    lb, _, _, _ = _merge_rank(bl, vals_i32, pm1, use_pallas=use_pallas)
+    lb = jnp.where(is_min, 0, lb)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    cols = (*plimbs, pos, ub, lb)
+    if use_pallas:
+        out = _jit_sort_cols(cols)
+    else:
+        out = _lax_sort_cols(cols, num_keys=len(plimbs) + 1)
+    nl = len(plimbs)
+    return out[nl], out[nl + 1], out[nl + 2]
+
+
+@functools.partial(jax.jit, static_argnames=("num_keys",))
+def _lax_sort_cols(cols, num_keys: int):
+    return tuple(jax.lax.sort(list(cols), num_keys=num_keys))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _expand_from_ranges(spos, ub, lb, svals_i32, capacity: int):
+    """Distribute match ranges over `capacity` output rows.
+
+    Output row r belongs to the sorted probe j whose cumulative match
+    count first exceeds r; its build row is lb[j] + (r - prefix_excl[j]).
+    Both lookups are monotone in r (zero-count probes are skipped by the
+    searchsorted-right semantics).
+    """
+    counts = ub - lb
+    prefix_inc = jnp.cumsum(counts, dtype=jnp.int32)
+    m = counts.shape[0]
+    nb = svals_i32.shape[0]
+    total = prefix_inc[m - 1]
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    j = jnp.searchsorted(prefix_inc, r, side="right").astype(jnp.int32)
+    jc = jnp.minimum(j, m - 1)
+    cj = jnp.take(counts, jc)
+    pij = jnp.take(prefix_inc, jc)
+    off = r - (pij - cj)
+    bpos = jnp.clip(jnp.take(lb, jc) + off, 0, nb - 1)
+    vals = jnp.take(svals_i32, bpos)
+    pidx = jnp.take(spos, jc)
+    valid = r < jnp.minimum(total, jnp.int32(capacity))
+    pidx = jnp.where(valid, pidx, jnp.int32(-1))
+    return total, pidx, vals
+
+
+def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
+                     build_sorted=False, sorter=None,
+                     use_pallas: bool = True, probe_impl: str = "auto"):
+    """Emit ALL matching (probe row, build value) pairs, capacity-bounded.
+
+    The full inner-join expansion `hash_join` cannot return (no static
+    shape): every probe row appears once per matching build row. Output
+    rows are ordered by (probe key, original probe position), matches of
+    one probe contiguous in sorted-build order.
+
+    Args:
+      capacity: static output length. When the true match total exceeds
+        it the output is TRUNCATED — check `total` and re-run with a
+        larger capacity (the same contract as partition_exchange's
+        fixed-capacity buckets).
+      (other args as `hash_join`.)
+
+    Returns:
+      (total, probe_idx, vals): `total` (i32 scalar) counts all matches;
+      `probe_idx`/`vals` are `(capacity,)` arrays — row r < min(total,
+      capacity) holds one match pair (original probe row index, build
+      value); rows beyond hold probe_idx == -1.
+    """
+    if use_pallas and jnp.dtype(build_vals.dtype).itemsize != 4:
+        use_pallas = False
+    if not build_sorted:
+        if sorter is None:
+            sorter = _default_build_sorter(jnp.dtype(build_keys.dtype).name,
+                                           use_pallas)
+        build_keys, build_vals = sorter.sort_with_device_data(
+            build_keys, build_vals)
+    bl = _jit_limbs(build_keys)
+    plimbs = _jit_limbs(probe_keys)
+    vals_i32 = _jit_i32(build_vals)
+    spos, ub, lb = _ranges_sorted(bl, vals_i32, plimbs, use_pallas,
+                                  probe_impl)
+    total, pidx, vals = _expand_from_ranges(spos, ub, lb, vals_i32,
+                                            capacity)
+    return total, pidx, psort.from_i32(vals, build_vals.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("table_bits",))

@@ -401,3 +401,68 @@ def test_hash_join_non_unique_probe_impls(probe_impl):
         assert count[i] == len(matches), i
         if len(matches):
             assert fv[i] == matches[0], i
+
+
+def _expand_oracle(build, bvals, probe):
+    """Expected (pidx sequence, per-row value multiset groups)."""
+    order = np.lexsort((np.arange(len(probe)), probe))
+    pidx, groups = [], []
+    for i in order:
+        m = np.sort(bvals[build == probe[i]])
+        pidx += [i] * len(m)
+        groups.append((i, m))
+    return np.array(pidx, np.int32), groups
+
+
+@pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
+def test_hash_join_expand(probe_impl):
+    rng = np.random.RandomState(30)
+    build = rng.randint(0, 50, size=300).astype(np.uint32)
+    bvals = rng.randint(-1000, 1000, size=300).astype(np.int32)
+    probe = rng.randint(0, 60, size=400).astype(np.uint32)
+    cap = 8192
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe),
+        capacity=cap, probe_impl=probe_impl)
+    total = int(total)
+    pidx, vals = np.asarray(pidx), np.asarray(vals)
+    exp_pidx, groups = _expand_oracle(build, bvals, probe)
+    assert total == len(exp_pidx)
+    np.testing.assert_array_equal(pidx[:total], exp_pidx)
+    assert np.all(pidx[total:] == -1)
+    # per-probe value multisets (order within equal build keys is
+    # sorter-dependent)
+    r = 0
+    for i, m in groups:
+        np.testing.assert_array_equal(np.sort(vals[r:r + len(m)]), m)
+        r += len(m)
+
+
+def test_hash_join_expand_truncation_and_empty():
+    build = np.array([5, 5, 5, 9], np.uint32)
+    bvals = np.array([10, 11, 12, 13], np.int32)
+    probe = np.array([5, 7, 5], np.uint32)
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe),
+        capacity=4)
+    assert int(total) == 6          # truncated: 2 probes x 3 matches
+    assert np.all(np.asarray(pidx) != -1)
+    # no matches at all
+    total0, pidx0, _ = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals),
+        jnp.asarray(np.array([1, 2], np.uint32)), capacity=4)
+    assert int(total0) == 0
+    assert np.all(np.asarray(pidx0) == -1)
+
+
+def test_hash_join_expand_xla_fallback():
+    rng = np.random.RandomState(31)
+    build = rng.randint(0, 40, size=200).astype(np.uint32)
+    bvals = rng.randint(0, 9, size=200).astype(np.int32)
+    probe = rng.randint(0, 50, size=300).astype(np.uint32)
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe),
+        capacity=4096, use_pallas=False)
+    exp_pidx, groups = _expand_oracle(build, bvals, probe)
+    assert int(total) == len(exp_pidx)
+    np.testing.assert_array_equal(np.asarray(pidx)[:int(total)], exp_pidx)
