@@ -39,7 +39,13 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1,
                     help="divide all row counts by this (smoke testing)")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--configs", default="1,2,3,4,5",
+                    help="comma list of config numbers to run (first "
+                         "compiles through the tunneled helper are slow; "
+                         "running one config per process keeps each run "
+                         "inside a shell timeout window)")
     args = ap.parse_args(argv)
+    configs = {int(c) for c in args.configs.split(",")}
     import numpy as np
     import jax
     from cl_ops_tpu.utils.platform import honor_env_platform
@@ -71,84 +77,102 @@ def main(argv=None):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # 1. 1M u32 sort — autotuned geometry: at this size the default
-    # two-tier schedule is launch-bound; the tuner collapses it to a
-    # couple of fat launches (one-time on-chip sweep, cached per shape)
-    n = (1 << 20) // sc
-    x = jnp.asarray(common.rand_array(np.uint32, n, 1))
-    s = sort_mod.sort_new("abitonic", "autotune=1")
-    dt = _timed(s.sort_with_device_data, (x,), runs, sync)
-    assert bool(np.all(np.diff(np.asarray(
-        s.sort_with_device_data(x)).astype(np.int64)) >= 0))
-    emit("sort_u32_1M", n / dt / 1e6, "Mkeys/s", dt,
-         abitonic_traffic_bytes(n, 1))
+    if 1 in configs:
+        # 1. 1M u32 sort — autotuned geometry: at this size the default
+        # two-tier schedule is launch-bound; the tuner collapses it to a
+        # couple of fat launches (one-time on-chip sweep, cached per shape)
+        n = (1 << 20) // sc
+        x = jnp.asarray(common.rand_array(np.uint32, n, 1))
+        s = sort_mod.sort_new("abitonic", "autotune=1")
+        dt = _timed(s.sort_with_device_data, (x,), runs, sync)
+        assert bool(np.all(np.diff(np.asarray(
+            s.sort_with_device_data(x)).astype(np.int64)) >= 0))
+        emit("sort_u32_1M", n / dt / 1e6, "Mkeys/s", dt,
+             abitonic_traffic_bytes(n, 1))
 
-    # 2. 16M u64 KV sort
-    n = (1 << 24) // sc
-    k64 = jnp.asarray(common.rand_array(np.uint64, n, 2))
-    v32 = jnp.asarray(np.arange(n, dtype=np.int32))
-    s64 = sort_mod.sort_new("abitonic", elem_dtype="ulong")
-    dt = _timed(s64.sort_with_device_data, (k64, v32), runs, sync)
-    ok, ov = s64.sort_with_device_data(k64, v32)
-    okh = np.asarray(ok)
-    assert bool(np.all(np.diff(okh.astype(np.float64)) >= 0) or
-                np.all(okh[:-1] <= okh[1:]))
-    emit("sort_u64kv_16M", n / dt / 1e6, "Mpairs/s", dt,
-         abitonic_traffic_bytes(n, 3))
+    if 2 in configs:
+        # 2. 16M u64 KV sort
+        n = (1 << 24) // sc
+        k64 = jnp.asarray(common.rand_array(np.uint64, n, 2))
+        v32 = jnp.asarray(np.arange(n, dtype=np.int32))
+        s64 = sort_mod.sort_new("abitonic", elem_dtype="ulong")
+        dt = _timed(s64.sort_with_device_data, (k64, v32), runs, sync)
+        ok, ov = s64.sort_with_device_data(k64, v32)
+        okh = np.asarray(ok)
+        assert bool(np.all(np.diff(okh.astype(np.float64)) >= 0) or
+                    np.all(okh[:-1] <= okh[1:]))
+        emit("sort_u64kv_16M", n / dt / 1e6, "Mpairs/s", dt,
+             abitonic_traffic_bytes(n, 3))
 
-    # 3. 64M filter @10%
-    n = (1 << 26) // sc
-    thresh = int(0.10 * (1 << 20))
-    xf = jnp.asarray(np.random.RandomState(3).randint(
-        0, 1 << 20, size=n).astype(np.uint32))
+    if 3 in configs:
+        # 3. 64M filter @10%
+        n = (1 << 26) // sc
+        thresh = int(0.10 * (1 << 20))
+        xf = jnp.asarray(np.random.RandomState(3).randint(
+            0, 1 << 20, size=n).astype(np.uint32))
 
-    def pred(d):
-        return d < jnp.uint32(thresh)
+        def pred(d):
+            return d < jnp.uint32(thresh)
 
-    fn = lambda v: ex.filter_compact(v, pred)  # noqa: E731
-    dt = _timed(fn, (xf,), runs, sync)
-    cnt, _ = fn(xf)
-    emit("filter_64M_sel10", n / dt / 1e6, "Mrows/s", dt,
-         4 * n + psort.sort_traffic_bytes(n, 2))
+        fn = lambda v: ex.filter_compact(v, pred)  # noqa: E731
+        dt = _timed(fn, (xf,), runs, sync)
+        cnt, _ = fn(xf)
+        emit("filter_64M_sel10", n / dt / 1e6, "Mrows/s", dt,
+             4 * n + psort.sort_traffic_bytes(n, 2))
 
-    # 4. 256M rows / 1M groups aggregate
-    n = (1 << 28) // sc
-    groups = (1 << 20) // max(sc // 16, 1)
-    ka = jnp.asarray(np.random.RandomState(4).randint(
-        0, groups, size=n).astype(np.uint32))
-    va = jnp.asarray(np.random.RandomState(5).randint(
-        0, 100, size=n).astype(np.int32))
+    if 4 in configs:
+        # 4. 256M rows / 1M groups aggregate
+        n = (1 << 28) // sc
+        groups = (1 << 20) // max(sc // 16, 1)
+        ka = jnp.asarray(np.random.RandomState(4).randint(
+            0, groups, size=n).astype(np.uint32))
+        va = jnp.asarray(np.random.RandomState(5).randint(
+            0, 100, size=n).astype(np.int32))
 
-    def agg(k, v):
-        return ex.group_aggregate_sorted(k, v, num_groups=groups)
+        def agg(k, v):
+            return ex.group_aggregate_sorted(k, v, num_groups=groups)
 
-    dt = _timed(agg, (ka, va), runs, sync)
-    emit("aggregate_256M_1Mgroups", n / dt / 1e6, "Mrows/s", dt,
-         psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
-         + psort.sort_traffic_bytes(n, 1))
+        dt = _timed(agg, (ka, va), runs, sync)
+        emit("aggregate_256M_1Mgroups", n / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
+             + psort.sort_traffic_bytes(n, 1))
 
-    # 5. join probe 16M x 1M (single-chip stand-in for the dist config)
-    m = (1 << 24) // sc
-    nd = (1 << 20) // sc
-    dim = np.arange(nd, dtype=np.uint32)
-    np.random.RandomState(6).shuffle(dim)
-    dimv = (dim * 7 + 1).astype(np.uint32)
-    probe = jnp.asarray(np.random.RandomState(7).randint(
-        0, nd, size=m).astype(np.uint32))
-    sd = sort_mod.sort_new("abitonic")
-    sdk, sdv = sd.sort_with_device_data(jnp.asarray(dim), jnp.asarray(dimv))
-    jfn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
-    dt = _timed(jfn, (probe,), runs, sync)
-    # auto strategy = banded probe (nd > DIRECT_MAX): probe sort (key+pos),
-    # one band pass, restore sort (key3, vp)
-    from cl_ops_tpu.ops.exec import bandprobe
-    emit("join_probe_16Mx1M", m / dt / 1e6, "Mrows/s", dt,
-         psort.sort_traffic_bytes(m, 2)
-         + bandprobe.band_pass_traffic_bytes(m, 1)
-         + psort.sort_traffic_bytes(m, 2))
+    if 5 in configs:
+        # 5. join probe 16M x 1M (single-chip stand-in for the dist config)
+        m = (1 << 24) // sc
+        nd = (1 << 20) // sc
+        dim = np.arange(nd, dtype=np.uint32)
+        np.random.RandomState(6).shuffle(dim)
+        dimv = (dim * 7 + 1).astype(np.uint32)
+        probe = jnp.asarray(np.random.RandomState(7).randint(
+            0, nd, size=m).astype(np.uint32))
+        sd = sort_mod.sort_new("abitonic")
+        sdk, sdv = sd.sort_with_device_data(jnp.asarray(dim),
+                                            jnp.asarray(dimv))
+        jfn = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True)  # noqa
+        dt = _timed(jfn, (probe,), runs, sync)
+        # auto strategy = banded probe (nd > DIRECT_MAX): probe sort
+        # (key+pos), one band pass, restore sort (key3, vp)
+        from cl_ops_tpu.ops.exec import bandprobe
+        emit("join_probe_16Mx1M", m / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(m, 2)
+             + bandprobe.band_pass_traffic_bytes(m, 1)
+             + psort.sort_traffic_bytes(m, 2))
 
+    # Merge with rows from earlier (per-config) runs: replace by metric.
+    merged = {}
+    try:
+        with open("BENCH_ALL.json") as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    merged[r["metric"]] = r
+    except OSError:
+        pass
+    for r in rows:
+        merged[r["metric"]] = r
     with open("BENCH_ALL.json", "w") as f:
-        for r in rows:
+        for r in merged.values():
             f.write(json.dumps(r) + "\n")
     return 0
 

@@ -18,7 +18,9 @@ import sys
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="filter",
-                   choices=["filter", "aggregate", "join"])
+                   choices=["filter", "aggregate", "join", "expand"])
+    p.add_argument("--dup", type=int, default=4,
+                   help="expand: matches per probe (build dups)")
     p.add_argument("-n", "--log2n", type=int, default=24,
                    help="rows = 2^log2n (default 24)")
     p.add_argument("-r", "--runs", type=int, default=5)
@@ -87,6 +89,32 @@ def main(argv=None):
             probe = rng.randint(0, int(cnt), size=16)
             for i in probe:
                 assert table[i] == hv[hk == gk[i]].sum()
+    elif args.op == "expand":
+        # full inner-join expansion: build side has `dup` rows per key, so
+        # every probe emits `dup` (probe, value) pairs
+        nd = 1 << args.dim_log2
+        nkeys = max(nd // args.dup, 1)
+        dim_keys = (np.arange(nd, dtype=np.uint32) % nkeys)
+        rng.shuffle(dim_keys)
+        dim_vals = np.arange(nd, dtype=np.int32)
+        probe = rng.randint(0, nkeys, size=n).astype(np.uint32)
+        capacity = args.dup * n
+        from cl_ops_tpu.ops.sort import sort_new
+        sorter = sort_new("xla", elem_dtype="uint")
+        sdk, sdv = sorter.sort_with_device_data(jnp.asarray(dim_keys),
+                                                jnp.asarray(dim_vals))
+        up = not args.no_pallas
+        fn = lambda p: ex.hash_join_expand(  # noqa: E731
+            sdk, sdv, p, capacity=capacity, build_sorted=True,
+            use_pallas=up)
+        secs = common.time_async(fn, (jnp.asarray(probe),), args.runs, sync)
+        if not args.no_check:
+            total, pidx, vals = fn(jnp.asarray(probe))
+            assert int(total) == args.dup * n
+            pidx, vals = np.asarray(pidx), np.asarray(vals)
+            hk, hv = dim_keys, dim_vals
+            for r in rng.randint(0, capacity, size=8):
+                assert vals[r] in hv[hk == probe[pidx[r]]]
     else:  # join
         nd = 1 << args.dim_log2
         dim_keys = np.arange(nd, dtype=np.uint32)
@@ -127,17 +155,23 @@ def main(argv=None):
             bytes_moved = (psort.sort_traffic_bytes(n, 2)   # (key,val) sort
                            + 6 * 4 * n                       # flags + cumsum
                            + psort.sort_traffic_bytes(n, 1))  # ends compact
-        else:  # join probe: probe sort + bitonic merge + compaction +
-            # restore (see _merge_rank)
-            from cl_ops_tpu.ops.sort import bitonic_kernels as bk
-            from cl_ops_tpu.utils.bits import nlpo2
-            nt = n + (1 << args.dim_log2)
-            p2 = nlpo2(nt)
-            bytes_moved = (psort.sort_traffic_bytes(n, 2)      # probe sort
-                           + bk.merge_traffic_bytes(p2, 2, 512)
-                           + 4 * 4 * p2                        # rank cumsum
-                           + psort.sort_traffic_bytes(p2, 1)   # compaction
-                           + psort.sort_traffic_bytes(n, 4))   # restore
+        elif args.op == "join":
+            # auto strategy: probe sort + one band pass + restore sort
+            # (bandprobe.py); small dim sides skip both sorts
+            from cl_ops_tpu.ops.exec import bandprobe
+            if (1 << args.dim_log2) <= bandprobe.DIRECT_MAX:
+                bytes_moved = bandprobe.band_pass_traffic_bytes(n, 1)
+            else:
+                bytes_moved = (psort.sort_traffic_bytes(n, 2)
+                               + bandprobe.band_pass_traffic_bytes(n, 1)
+                               + psort.sort_traffic_bytes(n, 2))
+        else:  # expand: probe sort + 2 band passes + cumsum + expansion
+            # reads/writes (searchsorted gathers not modeled)
+            from cl_ops_tpu.ops.exec import bandprobe
+            cap = args.dup * n
+            bytes_moved = (psort.sort_traffic_bytes(n, 2)
+                           + 2 * bandprobe.band_pass_traffic_bytes(n, 1)
+                           + 2 * 4 * n + 6 * 4 * cap)
         rr = roofline_row(bytes_moved, secs / args.runs)
         extra = (f"  [{rr['gb_s']:.1f} GB/s, "
                  f"{rr['roofline_frac']:.2f} of ceiling]")

@@ -9,16 +9,22 @@ first) serializes Mosaic's grid pipeline on the carry dependency and runs
 is one fully-pipelined Pallas kernel: block scan + precomputed base, fused
 where the reference needed a separate addWorkgroupSums launch.
 
-In-block scans use the MXU: values split into 16-bit halves, each
-lane-scanned exactly with one triangular f32 matmul (Precision.HIGHEST), and
-recombined with wrapping adds; row totals are scanned after reshaping into
-full 128-lane rows (an (R,1) column wastes 127/128 of each vreg).
+In-block scans use the MXU. Narrow (32-bit-sum) path: values split into
+four 8-bit chunks, each lane-scanned exactly with one triangular bf16
+matmul (ints <= 255 are bf16-exact and the MXU accumulates in f32: dots
+of 128 such terms are exact), ripple-recombined mod 2^32, then ONE row
+prefix on the combined words — 4 single-pass matmuls where f32
+Precision.HIGHEST halves cost ~6 passes each (measured +27% on the
+single-pass kernel). Row totals are scanned after reshaping into full
+128-lane rows (an (R,1) column wastes 127/128 of each vreg).
 
 64-bit sums (the reference's default uint->ulong widening,
 `clo_scan_bench.c:26-31`): Mosaic on v5e has no 64-bit registers, so the
-wide path emulates u64/i64 with two u32 limbs and explicit carries; the
-16-bit-half block scans stay exact for blocks <= 2^15 elements. The same
-kernels run under interpret mode on CPU so tests exercise the TPU code path.
+wide path emulates u64/i64 with two u32 limbs and explicit carries; it
+keeps 16-bit-half block scans — needing the carry per limb forces a
+block scan per chunk, and four row prefixes per limb measured slower
+than the extra MXU passes. The same kernels run under interpret mode on
+CPU so tests exercise the TPU code path.
 """
 
 from __future__ import annotations
@@ -38,9 +44,8 @@ LANES = 128
 # remain exact in i32 (32768 * 65535 < 2^31).
 MAX_WIDE_ROWS = 256
 
-# Plain ints (not jnp constants) so kernels don't capture tracers.
+# Plain int (not a jnp constant) so kernels don't capture tracers.
 _I32_MIN = -0x80000000
-_MASK16 = 0xFFFF
 
 
 def _cumsum_axis(x, axis):
@@ -91,21 +96,42 @@ def _ult(x, y):
     return ((x ^ _I32_MIN) < (y ^ _I32_MIN)).astype(jnp.int32)
 
 
-def _lane_scan_16bit_mxu(p_i32):
-    """Exact inclusive lane scan of <=16-bit values via one MXU matmul.
+def _lane_scan_8bit_mxu(p_i32):
+    """Exact inclusive lane scan of <=8-bit values via ONE bf16 MXU pass.
 
-    lane_scan = P @ T with T upper-triangular ones: each output is a dot of
-    <=128 16-bit terms (max 2^23), exact in f32 — the MXU does in one pass
-    what Hillis-Steele needs 7 masked-roll rounds of VPU work for.
+    Integers 0..255 are bf16-exact (8 significand bits) and the MXU
+    accumulates in f32 (dot of 128 terms <= 32640 < 2^24, exact), so the
+    scan costs a single MXU pass — where the f32 triangular matmul at
+    Precision.HIGHEST costs ~6 passes in bf16 decomposition. The 32-bit
+    scans chunk into four 8-bit scans, 4 total MXU passes vs 12.
     """
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    tri = (r_iota <= c_iota).astype(jnp.float32)
-    # Precision.HIGHEST: the default lets the MXU demote f32 multiplies to
-    # bf16 (8-bit mantissa), silently corrupting 16-bit operands.
-    return jnp.dot(p_i32.astype(jnp.float32), tri,
-                   precision=jax.lax.Precision.HIGHEST,
+    tri = (r_iota <= c_iota).astype(jnp.bfloat16)
+    return jnp.dot(p_i32.astype(jnp.bfloat16), tri,
                    preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _chunk_scans_8bit(x_i32):
+    """Inclusive lane scans of the four 8-bit chunks of 32-bit values."""
+    return [_lane_scan_8bit_mxu((x_i32 >> (8 * c)) & 0xFF)
+            for c in range(4)]
+
+
+def _combine_chunks_mod32(s):
+    """(word mod 2^32, carry_out) from four 8-bit-chunk scans.
+
+    Chunk sums stay < 2^16, so the ripple t_{k+1} = S_{k+1} + (t_k >> 8)
+    never overflows i32; the bytes of t_k assemble the exact mod-2^32
+    word and t_3 >> 8 is the 64-bit carry.
+    """
+    t0 = s[0]
+    t1 = s[1] + (t0 >> 8)
+    t2 = s[2] + (t1 >> 8)
+    t3 = s[3] + (t2 >> 8)
+    word = ((t0 & 0xFF) | ((t1 & 0xFF) << 8)
+            | ((t2 & 0xFF) << 16) | ((t3 & 0xFF) << 24))
+    return word, t3 >> 8
 
 
 def _row_prefix_of_totals(row_totals):
@@ -124,27 +150,14 @@ def _row_prefix_of_totals(row_totals):
     return _cumsum_axis(row_totals, 0) - row_totals
 
 
-def _block_inclusive_scan_exact16(p_i32):
-    """Exact inclusive block scan for <=16-bit inputs (MXU lane pass).
-
-    Bound: block_elems * 65535 < 2^31 (callers keep blocks <= 2^15 elems).
-    """
-    lane_scan = _lane_scan_16bit_mxu(p_i32)
-    row_totals = lane_scan[:, LANES - 1:]
-    return lane_scan + _row_prefix_of_totals(row_totals)
-
-
 def _block_inclusive_scan_mod32(x_i32):
     """Inclusive block scan, exact mod 2^32, for full 32-bit values.
 
-    Split into 16-bit halves, MXU-scan each exactly along lanes, recombine
-    with wrapping adds (a + (b << 16) wraps to the right mod-2^32 value),
-    then add a wrapping row prefix. No block-size bound — wrap is the
-    semantics.
+    Split into 8-bit chunks, MXU-scan each exactly along lanes in one
+    bf16 pass each, ripple-recombine mod 2^32, then add a wrapping row
+    prefix. No block-size bound — wrap is the semantics.
     """
-    lo = _lane_scan_16bit_mxu(x_i32 & _MASK16)
-    hi = _lane_scan_16bit_mxu((x_i32 >> 16) & _MASK16)
-    word = lo + (hi << 16)
+    word, _ = _combine_chunks_mod32(_chunk_scans_8bit(x_i32))
     row_totals = word[:, LANES - 1:]
     return word + _row_prefix_of_totals(row_totals)
 
@@ -270,17 +283,44 @@ def _wide_scan_block_kernel(base_lo_ref, base_hi_ref, lo_ref, hi_ref,
 
 # --- wide path: 64-bit sums as two u32 limbs ---------------------------------
 
+def _lane_scan_16bit_mxu(p_i32):
+    """Exact inclusive lane scan of <=16-bit values via one f32 MXU matmul.
+
+    Precision.HIGHEST: the default lets the MXU demote f32 multiplies to
+    bf16 (8-bit mantissa), silently corrupting 16-bit operands.
+    """
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (r_iota <= c_iota).astype(jnp.float32)
+    return jnp.dot(p_i32.astype(jnp.float32), tri,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _block_inclusive_scan_exact16(p_i32):
+    """Exact inclusive block scan for <=16-bit inputs (MXU lane pass).
+
+    Bound: block_elems * 65535 < 2^31 (callers keep blocks <= 2^15 elems).
+    """
+    lane_scan = _lane_scan_16bit_mxu(p_i32)
+    row_totals = lane_scan[:, LANES - 1:]
+    return lane_scan + _row_prefix_of_totals(row_totals)
+
+
 def _scan_u32_mod(x_i32):
     """Exact-mod-2^32 inclusive block scan of u32 values held in i32 lanes.
 
-    Splits into 16-bit halves (a = low, b = high), scans each exactly in i32,
-    recombines: sum = (a & 0xffff) | ((a>>16 + b) << 16) with carry-out
-    (a>>16 + b) >> 16. Returns (sum_mod_2^32 as i32, carry_out as i32).
+    Splits into 16-bit halves (a = low, b = high), scans each exactly in
+    i32, recombines: sum = (a & 0xffff) | ((a>>16 + b) << 16) with
+    carry-out (a>>16 + b) >> 16. The 8-bit-chunk decomposition (narrow
+    path) was measured SLOWER here: four block scans per limb double the
+    row-prefix/relayout work, which dominates over the saved MXU passes
+    (1.16 vs 1.94 GV/s on chip). Returns (sum mod 2^32 as i32, carry_out).
     """
-    a = _block_inclusive_scan_exact16(x_i32 & _MASK16)
-    b = _block_inclusive_scan_exact16((x_i32 >> 16) & _MASK16)
+    a = _block_inclusive_scan_exact16(x_i32 & 0xFFFF)
+    b = _block_inclusive_scan_exact16((x_i32 >> 16) & 0xFFFF)
     t = (a >> 16) + b
-    word = (a & _MASK16) | ((t & _MASK16) << 16)
+    word = (a & 0xFFFF) | ((t & 0xFFFF) << 16)
     carry = t >> 16
     return word, carry
 

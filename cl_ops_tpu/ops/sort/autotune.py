@@ -93,25 +93,36 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
         .reshape(rows, bk.LANES)) for i in range(n_arrays)]
     small = jax.jit(lambda a: a[:8, :8].astype(jnp.float32).sum())
 
+    # Per-candidate checkpoint: each measurement persists immediately, so
+    # a sweep interrupted mid-way (compiles through the tunneled helper
+    # can take minutes each) resumes instead of restarting.
+    partial_key = key + ":partial"
+    done = dict(disk.get(partial_key, {}))
     best = None
     for br, mr in candidate_geometries(rows, n_arrays):
-        import functools
+        ck = f"{br},{mr}"
+        if ck not in done:
+            import functools
 
-        @functools.partial(jax.jit, static_argnames=("b", "m"))
-        def run(arrs, b, m):
-            return bk.bitonic_sort_2d(tuple(arrs), block_rows=b, fused=True,
-                                      merge_rows=m, interpret=False)
-        try:
-            out = run(data, br, mr)
-            float(small(out[0]))  # compile + sync
-            t0 = time.perf_counter()
-            for _ in range(3):
+            @functools.partial(jax.jit, static_argnames=("b", "m"))
+            def run(arrs, b, m):
+                return bk.bitonic_sort_2d(tuple(arrs), block_rows=b,
+                                          fused=True, merge_rows=m,
+                                          interpret=False)
+            try:
                 out = run(data, br, mr)
-            float(small(out[0]))
-            dt = (time.perf_counter() - t0) / 3
-        except Exception:
-            continue
-        if best is None or dt < best[0]:
+                float(small(out[0]))  # compile + sync
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    out = run(data, br, mr)
+                float(small(out[0]))
+                done[ck] = (time.perf_counter() - t0) / 3
+            except Exception:
+                done[ck] = None  # infeasible geometry: never retry
+            disk[partial_key] = done
+            _save(disk)
+        dt = done[ck]
+        if dt is not None and (best is None or dt < best[0]):
             best = (dt, br, mr)
     if best is None:
         br = min(512, rows)
@@ -119,6 +130,7 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
     else:
         geo = (best[1], best[2])
     _mem_cache[key] = geo
+    disk.pop(partial_key, None)
     disk[key] = list(geo)
     _save(disk)
     return geo
