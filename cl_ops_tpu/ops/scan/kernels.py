@@ -15,8 +15,8 @@ matmul (ints <= 255 are bf16-exact and the MXU accumulates in f32: dots
 of 128 such terms are exact), ripple-recombined mod 2^32, then ONE row
 prefix on the combined words — 4 single-pass matmuls where f32
 Precision.HIGHEST halves cost ~6 passes each (measured +27% on the
-single-pass kernel). Row totals are scanned after reshaping into full
-128-lane rows (an (R,1) column wastes 127/128 of each vreg).
+single-pass kernel). Row totals scan directly on the (R,1) column with a
+sublane Hillis-Steele (see _row_prefix_of_totals on why not a reshape).
 
 64-bit sums (the reference's default uint->ulong widening,
 `clo_scan_bench.c:26-31`): Mosaic on v5e has no 64-bit registers, so the
@@ -69,26 +69,10 @@ def _cumsum_axis(x, axis):
 
 
 def _block_inclusive_scan(block_2d):
-    """Inclusive prefix sum of a (rows, LANES) block in row-major order.
-
-    The row-totals scan runs on totals reshaped into full 128-lane rows:
-    scanning an (R,1) column directly wastes 127/128 of every vreg (TPU
-    vregs are 8x128), which made the totals pass as expensive as the main
-    lane pass.
-    """
+    """Inclusive prefix sum of a (rows, LANES) block in row-major order."""
     lane_scan = _cumsum_axis(block_2d, 1)
-    r = block_2d.shape[0]
     row_totals = lane_scan[:, LANES - 1:]
-    if r >= LANES and r % LANES == 0:
-        t2 = row_totals.reshape(r // LANES, LANES)
-        t2s = _cumsum_axis(t2, 1)
-        chunk_tot = t2s[:, LANES - 1:]
-        chunk_prefix = _cumsum_axis(chunk_tot, 0) - chunk_tot
-        incl_tot = t2s + chunk_prefix
-        row_prefix = incl_tot.reshape(r, 1) - row_totals
-    else:
-        row_prefix = _cumsum_axis(row_totals, 0) - row_totals  # exclusive
-    return lane_scan + row_prefix
+    return lane_scan + _row_prefix_of_totals(row_totals)
 
 
 def _ult(x, y):
@@ -135,18 +119,15 @@ def _combine_chunks_mod32(s):
 
 
 def _row_prefix_of_totals(row_totals):
-    """Exclusive scan over per-row totals (r,1), lanes-reshaped when r>=128.
+    """Exclusive scan over per-row totals (r,1) — sublane Hillis-Steele.
 
     Adds wrap in i32 — exact for mod-2^32 semantics; callers needing true
-    magnitudes must bound r * max_total < 2^31.
+    magnitudes must bound r * max_total < 2^31. Measured on chip: the
+    direct log2(r)-round sublane scan on the (r,1) column beats the
+    "reshape to (r/128,128) and scan along lanes" variant ~1.5x — the
+    relayouts and sub-8-sublane intermediate shapes cost more than the
+    127/128 vreg waste the reshape was avoiding (bisect, r2 session).
     """
-    r = row_totals.shape[0]
-    if r >= LANES and r % LANES == 0:
-        t2 = row_totals.reshape(r // LANES, LANES)
-        t2s = _cumsum_axis(t2, 1)
-        chunk_tot = t2s[:, LANES - 1:]
-        chunk_prefix = _cumsum_axis(chunk_tot, 0) - chunk_tot
-        return (t2s + chunk_prefix).reshape(r, 1) - row_totals
     return _cumsum_axis(row_totals, 0) - row_totals
 
 
