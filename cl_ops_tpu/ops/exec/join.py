@@ -449,6 +449,72 @@ def _lax_sort_cols(cols, num_keys: int):
     return tuple(jax.lax.sort(list(cols), num_keys=num_keys))
 
 
+@jax.jit
+def _prefix_inc(ub, lb):
+    return jnp.cumsum(ub - lb, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _expand_glue(sposj, valsr, prefix_inc, capacity: int):
+    """Assemble banded-expansion outputs from the band-pass results."""
+    total = prefix_inc[prefix_inc.shape[0] - 1]
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    valid = r < jnp.minimum(total, jnp.int32(capacity))
+    pidx = jnp.where(valid, sposj, jnp.int32(-1))
+    return total, pidx, valsr
+
+
+def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
+    """Band-kernel expansion: 4 passes, all on monotone sorted queries.
+
+    Pass 1 searches the inclusive prefix with the output rows r=0..cap-1
+    as (already sorted) probes: the searchsorted-right count IS the
+    segment id j, and val_prev IS the exclusive prefix at j. Passes 2-4
+    are monotone gathers expressed as band searches over iota keys
+    (count = idx+1, val_prev = v[idx]). Any band overflow (match ranges
+    too sparse for the window) returns None -> XLA fallback.
+    """
+    from cl_ops_tpu.ops.exec import bandprobe
+    from cl_ops_tpu.utils.platform import pallas_interpret
+    interp = pallas_interpret()
+    m = spos.shape[0]
+    nb = svals_i32.shape[0]
+    prefix_inc = _prefix_inc(ub, lb)
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    j, _, pex_raw, _, ovf1 = bandprobe.probe_banded_sorted(
+        (prefix_inc,), prefix_inc, (r,), interpret=interp)
+    if bool(ovf1):
+        return None
+    jc, pex = _expand_banded_mid(j, pex_raw, m)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    _, _, lbj, _, ovf2 = bandprobe.probe_banded_sorted(
+        (iota_m,), lb, (jc,), interpret=interp)
+    _, _, sposj, _, ovf3 = bandprobe.probe_banded_sorted(
+        (iota_m,), spos, (jc,), interpret=interp)
+    if bool(ovf2) or bool(ovf3):
+        return None
+    bpos = _expand_banded_bpos(lbj, r, pex, nb)
+    _, _, valsr, _, ovf4 = bandprobe.probe_banded_sorted(
+        (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
+        interpret=interp)
+    if bool(ovf4):
+        return None
+    return _expand_glue(sposj, valsr, prefix_inc, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _expand_banded_mid(j, pex_raw, m: int):
+    # j == 0 rows sit before the first prefix entry: exclusive prefix 0.
+    jc = jnp.minimum(j, jnp.int32(m - 1))
+    pex = jnp.where(j == 0, 0, pex_raw)
+    return jc, pex
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _expand_banded_bpos(lbj, r, pex, nb: int):
+    return jnp.clip(lbj + (r - pex), jnp.int32(0), jnp.int32(nb - 1))
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _expand_from_ranges(spos, ub, lb, svals_i32, capacity: int):
     """Distribute match ranges over `capacity` output rows.
@@ -513,8 +579,12 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
     vals_i32 = _jit_i32(build_vals)
     spos, ub, lb = _ranges_sorted(bl, vals_i32, plimbs, use_pallas,
                                   probe_impl)
-    total, pidx, vals = _expand_from_ranges(spos, ub, lb, vals_i32,
-                                            capacity)
+    out = None
+    if use_pallas:
+        out = _expand_from_ranges_banded(spos, ub, lb, vals_i32, capacity)
+    if out is None:  # use_pallas=False or band overflow (sparse ranges)
+        out = _expand_from_ranges(spos, ub, lb, vals_i32, capacity)
+    total, pidx, vals = out
     return total, pidx, psort.from_i32(vals, build_vals.dtype)
 
 

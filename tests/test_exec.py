@@ -466,3 +466,19 @@ def test_hash_join_expand_xla_fallback():
     exp_pidx, groups = _expand_oracle(build, bvals, probe)
     assert int(total) == len(exp_pidx)
     np.testing.assert_array_equal(np.asarray(pidx)[:int(total)], exp_pidx)
+
+
+def test_hash_join_expand_sparse_fallback():
+    """1-match-per-probe expansion: output blocks span more probes than
+    one band window covers -> overflow -> XLA fallback, same results."""
+    m = 70000
+    build = np.arange(m, dtype=np.uint32)
+    bvals = (build * 2 + 1).astype(np.int32)
+    probe = np.arange(m, dtype=np.uint32)
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe),
+        capacity=m, build_sorted=True)
+    assert int(total) == m
+    pidx, vals = np.asarray(pidx), np.asarray(vals)
+    np.testing.assert_array_equal(pidx, np.arange(m))
+    np.testing.assert_array_equal(vals, (probe * 2 + 1).astype(np.int32))
