@@ -19,7 +19,12 @@ reference's analog is event-profiled time, clo_sort_bench.c:201-235).
 from __future__ import annotations
 
 import functools
+import json
+import os
 import time
+
+_CACHE_ENV = "CL_OPS_ROOFLINE_GBS"
+_CACHE_FILE = os.path.expanduser("~/.cl_ops_tpu_roofline.json")
 
 
 @functools.lru_cache(maxsize=None)
@@ -32,9 +37,30 @@ def stream_ceiling_gbs(mb: int = 1024, depth: int = 8) -> float:
     chip each chained call pays a ~1.3 ms dispatch floor, so small buffers
     measure dispatch, not bandwidth (128 MiB -> 78 GB/s, 1 GiB ->
     341 GB/s on the same chip; v5e HBM spec is 819 GB/s).
+
+    The ceiling is a device property, so it persists per device kind and
+    records the BEST measurement across sessions (a ceiling is a max:
+    single re-measures vary 212-341 GB/s on the tunneled chip depending
+    on residual HBM pressure, and a low sample would push every
+    roofline_frac above 1). Override with env CL_OPS_ROOFLINE_GBS;
+    delete the cache file to start over.
     """
+    if os.environ.get(_CACHE_ENV):
+        return float(os.environ[_CACHE_ENV])
     import jax
     import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    key = f"{kind}:{mb}"
+    try:
+        with open(_CACHE_FILE) as f:
+            cached = json.load(f)
+        if key in cached:
+            return float(cached[key])
+    except OSError:
+        cached = {}
+    except Exception:
+        cached = {}
 
     n = mb * (1 << 20) // 4
     x = jnp.arange(n, dtype=jnp.int32)
@@ -42,12 +68,21 @@ def stream_ceiling_gbs(mb: int = 1024, depth: int = 8) -> float:
     small = jax.jit(lambda a: a[:8].astype(jnp.float32).sum())
     out = f(x)
     float(small(out))  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(depth):
-        out = f(out)
-    float(small(out))
-    dt = time.perf_counter() - t0
-    return 2.0 * n * 4 * depth / dt / 1e9
+    best = float(cached.get(key, 0.0))
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(depth):
+            out = f(out)
+        float(small(out))
+        dt = time.perf_counter() - t0
+        best = max(best, 2.0 * n * 4 * depth / dt / 1e9)
+    cached[key] = best
+    try:
+        with open(_CACHE_FILE, "w") as fh:
+            json.dump(cached, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return best
 
 
 def roofline_row(bytes_moved: int, seconds: float) -> dict:
