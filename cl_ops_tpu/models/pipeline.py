@@ -77,3 +77,38 @@ def analytics_query(n: int, num_groups: int = 1024, seed: int = 0,
     gk = jnp.where(slot < gcnt, gk, jnp.int32(num_groups))
     table = jnp.zeros((num_groups,), tbl.dtype).at[gk].set(tbl, mode="drop")
     return count, table
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "dim_rows", "num_cats", "seed",
+                                    "threshold", "use_pallas"))
+def star_query(n: int, dim_rows: int = 1 << 14, num_cats: int = 256,
+               seed: int = 0, threshold: int = 512,
+               use_pallas: bool = True):
+    """SELECT d.cat, SUM(f.value) FROM fact f JOIN dim d ON f.key = d.key
+    WHERE f.value < threshold GROUP BY d.cat — the full star-schema shape.
+
+    Composes every exec operator: RNG scan -> filter+compaction -> hash
+    join (the DIRECT band-probe path: the dimension side fits one band
+    window, so the whole pipeline stays jittable — no host-side strategy
+    sync) -> prefix group-by over the joined dimension attribute.
+    Requires dim_rows <= bandprobe.DIRECT_MAX (64K).
+    """
+    from cl_ops_tpu.ops.exec import join as jn
+    keys, values = generate_table(n, seed, key_space=dim_rows)
+    dim_keys = jax.lax.broadcasted_iota(jnp.uint32, (dim_rows,), 0)
+    dim_cat = (threefry.random_bits(seed + 1, dim_keys, jnp.uint32(2))
+               % jnp.uint32(num_cats)).astype(jnp.int32)
+    count, fvals, fkeys = flt.filter_compact(
+        values, lambda v: v < jnp.uint32(threshold), keys,
+        use_pallas=use_pallas)
+    _, cats = jn.hash_join(dim_keys, dim_cat, fkeys, build_sorted=True,
+                           use_pallas=use_pallas,
+                           probe_impl="direct" if use_pallas else "merge")
+    gk, tbl, gcnt = agg.group_aggregate_prefix(
+        cats, fvals.astype(jnp.uint32), count, num_groups=num_cats,
+        agg="sum", use_pallas=use_pallas)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (num_cats,), 0)
+    gk = jnp.where(slot < gcnt, gk, jnp.int32(num_cats))
+    table = jnp.zeros((num_cats,), tbl.dtype).at[gk].set(tbl, mode="drop")
+    return count, table

@@ -31,3 +31,21 @@ def test_analytics_query():
     for k, v in zip(keys[m] % g, vals[m]):
         expect[k] += v
     np.testing.assert_array_equal(np.asarray(table), expect.astype(np.uint32))
+
+
+def test_star_query():
+    n, dim_rows, cats = 1 << 14, 1 << 10, 32
+    count, table = models.star_query(n, dim_rows=dim_rows, num_cats=cats,
+                                     seed=3, threshold=512)
+    # numpy oracle over the same generated data
+    keys, values = (np.asarray(a) for a in models.generate_table(
+        n, 3, key_space=dim_rows))
+    from cl_ops_tpu.ops.rng import threefry
+    dim_cat = np.asarray(
+        threefry.random_bits(4, np.arange(dim_rows, dtype=np.uint32),
+                             np.uint32(2))) % cats
+    keep = values < 512
+    assert int(count) == keep.sum()
+    exp = np.zeros(cats, np.uint32)
+    np.add.at(exp, dim_cat[keys[keep]], values[keep])
+    np.testing.assert_array_equal(np.asarray(table), exp)
