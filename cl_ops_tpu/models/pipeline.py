@@ -92,7 +92,7 @@ def star_query(n: int, dim_rows: int = 1 << 14, num_cats: int = 256,
     join (the DIRECT band-probe path: the dimension side fits one band
     window, so the whole pipeline stays jittable — no host-side strategy
     sync) -> prefix group-by over the joined dimension attribute.
-    Requires dim_rows <= bandprobe.DIRECT_MAX (64K).
+    Requires dim_rows <= bandprobe.DIRECT_MAX (16384).
     """
     from cl_ops_tpu.ops.exec import join as jn
     keys, values = generate_table(n, seed, key_space=dim_rows)

@@ -566,6 +566,11 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
       capacity) holds one match pair (original probe row index, build
       value); rows beyond hold probe_idx == -1.
     """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if probe_keys.shape[0] == 0 or build_keys.shape[0] == 0:
+        return (jnp.int32(0), jnp.full((capacity,), -1, jnp.int32),
+                jnp.zeros((capacity,), build_vals.dtype))
     if use_pallas and jnp.dtype(build_vals.dtype).itemsize != 4:
         use_pallas = False
     if not build_sorted:

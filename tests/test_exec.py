@@ -482,3 +482,18 @@ def test_hash_join_expand_sparse_fallback():
     pidx, vals = np.asarray(pidx), np.asarray(vals)
     np.testing.assert_array_equal(pidx, np.arange(m))
     np.testing.assert_array_equal(vals, (probe * 2 + 1).astype(np.int32))
+
+
+def test_hash_join_expand_empty_inputs():
+    e32 = np.array([], np.uint32)
+    ei = np.array([], np.int32)
+    build = np.array([3, 7], np.uint32)
+    bvals = np.array([1, 2], np.int32)
+    for bk, bv, pk in [(build, bvals, e32), (e32, ei, build)]:
+        total, pidx, vals = ex.hash_join_expand(
+            jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), capacity=8)
+        assert int(total) == 0
+        assert np.all(np.asarray(pidx) == -1)
+    with pytest.raises(ValueError):
+        ex.hash_join_expand(jnp.asarray(build), jnp.asarray(bvals),
+                            jnp.asarray(build), capacity=0)
