@@ -165,13 +165,16 @@ def main(argv=None):
                 bytes_moved = (psort.sort_traffic_bytes(n, 2)
                                + bandprobe.band_pass_traffic_bytes(n, 1)
                                + psort.sort_traffic_bytes(n, 2))
-        else:  # expand: probe sort + 2 band passes + cumsum + expansion
-            # reads/writes (searchsorted gathers not modeled)
+        else:  # expand: probe sort + 2 range band passes + cumsum +
+            # 4 expansion band passes (128-row probe blocks) + glue writes
             from cl_ops_tpu.ops.exec import bandprobe
             cap = args.dup * n
             bytes_moved = (psort.sort_traffic_bytes(n, 2)
                            + 2 * bandprobe.band_pass_traffic_bytes(n, 1)
-                           + 2 * 4 * n + 6 * 4 * cap)
+                           + 2 * 4 * n
+                           + 4 * bandprobe.band_pass_traffic_bytes(
+                               cap, 1, probe_rows=128)
+                           + 3 * 4 * cap)
         rr = roofline_row(bytes_moved, secs / args.runs)
         extra = (f"  [{rr['gb_s']:.1f} GB/s, "
                  f"{rr['roofline_frac']:.2f} of ceiling]")

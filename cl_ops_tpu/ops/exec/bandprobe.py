@@ -186,12 +186,13 @@ def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
     out_vn[...] = vn_acc
 
 
-def band_pass_traffic_bytes(m: int, n_limbs: int) -> int:
+def band_pass_traffic_bytes(m: int, n_limbs: int,
+                            probe_rows: int = PROBE_ROWS) -> int:
     """HBM bytes of one band-kernel pass over m probes.
 
     Reads the probe limbs, DMAs one PULL-block band window per probe
     block per array (limbs + vals), writes the 4 i32 outputs."""
-    block = PROBE_ROWS * LANES
+    block = probe_rows * LANES
     grid = (m + block - 1) // block
     band = grid * PULL * WBE * (n_limbs + 1) * 4
     return n_limbs * 4 * m + band + 4 * 4 * m
@@ -207,18 +208,19 @@ def _pad_build(build_limbs, vals_i32, min_blocks=PULL):
     return bl, bv, nbb
 
 
-def _pad_probes(probe_limbs, pad_val=_I32_MAX):
+def _pad_probes(probe_limbs, pad_val=_I32_MAX, probe_rows=PROBE_ROWS):
     m = probe_limbs[0].shape[0]
-    block = PROBE_ROWS * LANES
+    block = probe_rows * LANES
     mp = ((m + block - 1) // block) * block
     cols = tuple(jnp.pad(c, (0, mp - m), constant_values=pad_val)
                  .reshape(mp // LANES, LANES) for c in probe_limbs)
     return cols, mp // block
 
 
-def _call_band(build2d, probes2d, starts, nb, n_limbs, grid, interpret):
+def _call_band(build2d, probes2d, starts, nb, n_limbs, grid, interpret,
+               probe_rows=PROBE_ROWS):
     """Launch the band kernel. build2d: per-array (rows,128); probes2d:
-    per-limb (grid*PROBE_ROWS, 128); starts: (grid,) band-block starts."""
+    per-limb (grid*probe_rows, 128); starts: (grid,) band-block starts."""
 
     def probe_map(i, st, nbr):
         return (i, i * 0)
@@ -228,7 +230,7 @@ def _call_band(build2d, probes2d, starts, nb, n_limbs, grid, interpret):
             return (st[i] + t, i * 0)
         return m
 
-    p_spec = pl.BlockSpec((PROBE_ROWS, LANES), probe_map,
+    p_spec = pl.BlockSpec((probe_rows, LANES), probe_map,
                           memory_space=pltpu.VMEM)
     band_specs = []
     band_args = []
@@ -280,9 +282,10 @@ def probe_direct(build_limbs, build_vals_i32, probe_limbs,
     return count, eq != 0, vp, vn
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "probe_rows"))
 def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
-                        *, interpret: bool = False):
+                        *, interpret: bool = False,
+                        probe_rows: int = PROBE_ROWS):
     """Search SORTED probes against an arbitrarily large sorted build.
 
     Band starts are computed at build-block granularity from block-first
@@ -291,19 +294,24 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     SORTED probe plus `overflow`: True when some probe block's build range
     exceeds the pulled window (extreme skew) — results are then unusable
     and the caller must fall back to the merge probe.
+
+    probe_rows sets the probe block (probe_rows*128 probes per grid
+    step). Smaller blocks span fewer build rows per step — the join
+    expansion uses 128 (16K outputs/step <= the 16K-element window, so
+    dense expansions never overflow) at the cost of 4x band re-DMA.
     """
     nb = build_limbs[0].shape[0]
     m = sp_limbs[0].shape[0]
     n_limbs = len(build_limbs)
     bl, bv, nbb = _pad_build(build_limbs, build_vals_i32)
     build2d = [b.reshape(-1, LANES) for b in (*bl, bv)]
-    probes2d, grid = _pad_probes(sp_limbs)
+    probes2d, grid = _pad_probes(sp_limbs, probe_rows=probe_rows)
 
     # Block-boundary metadata (tiny): F/L = first/last key per build
     # block; firstp/lastp = first/last REAL key per probe block.
     fs = [b.reshape(nbb, WBE)[:, 0] for b in bl]
     ls = [b.reshape(nbb, WBE)[:, -1] for b in bl]
-    block = PROBE_ROWS * LANES
+    block = probe_rows * LANES
     firsts = [c.reshape(-1)[::block] for c in probes2d]
     # last real probe per block (pads are i32-max and would force every
     # window to the build end)
@@ -338,6 +346,7 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     overflow = jnp.any(ovf)
 
     outs = _call_band(build2d, probes2d, starts,
-                      jnp.array([nb], jnp.int32), n_limbs, grid, interpret)
+                      jnp.array([nb], jnp.int32), n_limbs, grid, interpret,
+                      probe_rows=probe_rows)
     count, eq, vp, vn = (o.reshape(-1)[:m] for o in outs)
     return count, eq != 0, vp, vn, overflow

@@ -479,24 +479,29 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     interp = pallas_interpret()
     m = spos.shape[0]
     nb = svals_i32.shape[0]
+    # 128-row probe blocks: 16K outputs per grid step <= the 16K-element
+    # band window, so expansions with >= 1 match per spanned probe never
+    # overflow (512-row blocks tripped the window exactly at 4 matches/
+    # probe and fell into the XLA searchsorted path — 49 s at 64M rows).
+    pr = 128
     prefix_inc = _prefix_inc(ub, lb)
     r = jnp.arange(capacity, dtype=jnp.int32)
     j, _, pex_raw, _, ovf1 = bandprobe.probe_banded_sorted(
-        (prefix_inc,), prefix_inc, (r,), interpret=interp)
+        (prefix_inc,), prefix_inc, (r,), interpret=interp, probe_rows=pr)
     if bool(ovf1):
         return None
     jc, pex = _expand_banded_mid(j, pex_raw, m)
     iota_m = jnp.arange(m, dtype=jnp.int32)
     _, _, lbj, _, ovf2 = bandprobe.probe_banded_sorted(
-        (iota_m,), lb, (jc,), interpret=interp)
+        (iota_m,), lb, (jc,), interpret=interp, probe_rows=pr)
     _, _, sposj, _, ovf3 = bandprobe.probe_banded_sorted(
-        (iota_m,), spos, (jc,), interpret=interp)
+        (iota_m,), spos, (jc,), interpret=interp, probe_rows=pr)
     if bool(ovf2) or bool(ovf3):
         return None
     bpos = _expand_banded_bpos(lbj, r, pex, nb)
     _, _, valsr, _, ovf4 = bandprobe.probe_banded_sorted(
         (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
-        interpret=interp)
+        interpret=interp, probe_rows=pr)
     if bool(ovf4):
         return None
     return _expand_glue(sposj, valsr, prefix_inc, capacity)
