@@ -215,6 +215,21 @@ def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
     return "direct" if nb <= bandprobe.DIRECT_MAX else "banded"
 
 
+def _band_probe_rows(m: int, nb: int) -> int:
+    """Probe-block rows for a band pass: keep the expected build span of
+    one probe block within half the 16K-element band window.
+
+    Uniform probes span ~ (probes_per_block) * nb / m build rows; pr=512
+    works for build sides <= ~m/8 but tripped the overflow boundary at
+    nb = m/4 (measured: 16M probes x 4M build fell to the merge path).
+    """
+    from cl_ops_tpu.ops.exec import bandprobe
+    pr = bandprobe.PROBE_ROWS
+    while pr > 128 and pr * bandprobe.LANES * nb > 8192 * m:
+        pr //= 2
+    return pr
+
+
 def _banded_passes(bl, vals_i32, plimbs, passes):
     """Run band probes over sorted probes; None on band overflow.
 
@@ -229,11 +244,13 @@ def _banded_passes(bl, vals_i32, plimbs, passes):
     sp = _jit_sort_cols((*plimbs, pos))
     sp_limbs, spos = tuple(sp[:-1]), sp[-1]
     interp = pallas_interpret()
+    pr = _band_probe_rows(m, bl[0].shape[0])
     results = []
     for fn in passes:
         qlimbs = fn(sp_limbs)
         count, eq, vp, vn, ovf = bandprobe.probe_banded_sorted(
-            tuple(bl), vals_i32, tuple(qlimbs), interpret=interp)
+            tuple(bl), vals_i32, tuple(qlimbs), interpret=interp,
+            probe_rows=pr)
         if bool(ovf):  # extreme skew: window exceeded -> merge fallback
             return None, None, None
         results.append((count, eq, vp, vn))
