@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1,
                     help="divide all row counts by this (smoke testing)")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--configs", default="1,2,3,4,5",
+    ap.add_argument("--configs", default="1,2,3,4,5,6",
                     help="comma list of config numbers to run (first "
                          "compiles through the tunneled helper are slow; "
                          "running one config per process keeps each run "
@@ -158,6 +158,35 @@ def main(argv=None):
              psort.sort_traffic_bytes(m, 2)
              + bandprobe.band_pass_traffic_bytes(m, 1)
              + psort.sort_traffic_bytes(m, 2))
+
+    if 6 in configs:
+        # 6. full join expansion: 16M probes x 4 matches each against a
+        # 4M-row build (not a BASELINE config; covers hash_join_expand)
+        m = (1 << 24) // sc
+        nd = (1 << 22) // sc
+        nkeys = max(nd // 4, 1)
+        dk = (np.arange(nd, dtype=np.uint32) % nkeys)
+        np.random.RandomState(8).shuffle(dk)
+        dv = np.arange(nd, dtype=np.int32)
+        pk = jnp.asarray(np.random.RandomState(9).randint(
+            0, nkeys, size=m).astype(np.uint32))
+        cap = 4 * m
+        sx = sort_mod.sort_new("xla", elem_dtype="uint")
+        sdk6, sdv6 = sx.sort_with_device_data(jnp.asarray(dk),
+                                              jnp.asarray(dv))
+        efn = lambda p: ex.hash_join_expand(  # noqa: E731
+            sdk6, sdv6, p, capacity=cap, build_sorted=True)
+        dt = _timed(efn, (pk,), runs, sync)
+        total, _, _ = efn(pk)
+        assert int(total) == cap
+        from cl_ops_tpu.ops.exec import bandprobe
+        emit("join_expand_16Mx4", cap / dt / 1e6, "Mpairs/s", dt,
+             psort.sort_traffic_bytes(m, 2)
+             + 2 * bandprobe.band_pass_traffic_bytes(m, 1, probe_rows=256)
+             + 2 * 4 * m
+             + 4 * bandprobe.band_pass_traffic_bytes(cap, 1,
+                                                     probe_rows=128)
+             + 3 * 4 * cap)
 
     # Merge with rows from earlier (per-config) runs: replace by metric.
     merged = {}
