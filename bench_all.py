@@ -184,8 +184,9 @@ def main(argv=None):
              psort.sort_traffic_bytes(m, 2)
              + 2 * bandprobe.band_pass_traffic_bytes(m, 1, probe_rows=256)
              + 2 * 4 * m
-             + 4 * bandprobe.band_pass_traffic_bytes(cap, 1,
-                                                     probe_rows=128)
+             + bandprobe.band_pass_traffic_bytes(cap, 1, probe_rows=128,
+                                                 n_vals=3)
+             + bandprobe.band_pass_traffic_bytes(cap, 1, probe_rows=128)
              + 3 * 4 * cap)
 
     # Merge with rows from earlier (per-config) runs: replace by metric.

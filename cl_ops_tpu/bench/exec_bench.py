@@ -165,14 +165,17 @@ def main(argv=None):
                 bytes_moved = (psort.sort_traffic_bytes(n, 2)
                                + bandprobe.band_pass_traffic_bytes(n, 1)
                                + psort.sort_traffic_bytes(n, 2))
-        else:  # expand: probe sort + 2 range band passes + cumsum +
-            # 4 expansion band passes (128-row probe blocks) + glue writes
+        else:  # expand: probe sort + 2 range band passes + cumsum + a
+            # 3-value expansion pass + the build-value gather pass
+            # (128-row probe blocks) + glue writes
             from cl_ops_tpu.ops.exec import bandprobe
             cap = args.dup * n
             bytes_moved = (psort.sort_traffic_bytes(n, 2)
                            + 2 * bandprobe.band_pass_traffic_bytes(n, 1)
                            + 2 * 4 * n
-                           + 4 * bandprobe.band_pass_traffic_bytes(
+                           + bandprobe.band_pass_traffic_bytes(
+                               cap, 1, probe_rows=128, n_vals=3)
+                           + bandprobe.band_pass_traffic_bytes(
                                cap, 1, probe_rows=128)
                            + 3 * 4 * cap)
         rr = roofline_row(bytes_moved, secs / args.runs)

@@ -84,26 +84,32 @@ def _lex_lt_eq(ks, ps):
     return lt, eq
 
 
-def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
+def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int,
+                       n_vals: int = 1):
     """Count + match-value search of one probe block against its band.
 
-    refs = probe limbs (PROBE_ROWS, 128) * n_limbs,
-           band blocks: for each of n_limbs+1 arrays (limbs then vals),
-             PULL refs of (WB, 128),
-           outs: count, eq, val_prev, val_next (PROBE_ROWS, 128).
-    count is GLOBAL (band offset added). val_next is garbage when
-    count == nb (callers never use it there).
+    refs = probe limbs (probe_rows, 128) * n_limbs,
+           band blocks: for each of n_limbs+n_vals arrays (limbs then
+             value columns), PULL refs of (WB, 128),
+           outs: count, eq, then val_prev and val_next per value column
+             (probe_rows, 128).
+    count is GLOBAL (band offset added); val_prev[k] = vals_k[count-1],
+    val_next[k] = vals_k[count]. val_next is garbage when count == nb
+    (callers never use it there).
     """
     ps = tuple(r[...] for r in refs[:n_limbs])
-    band_refs = refs[n_limbs:n_limbs + (n_limbs + 1) * PULL]
-    out_count, out_eq, out_vp, out_vn = refs[n_limbs + (n_limbs + 1) * PULL:]
+    band_refs = refs[n_limbs:n_limbs + (n_limbs + n_vals) * PULL]
+    outs = refs[n_limbs + (n_limbs + n_vals) * PULL:]
+    out_count, out_eq = outs[0], outs[1]
+    out_vps = outs[2:2 + n_vals]
+    out_vns = outs[2 + n_vals:]
     i = pl.program_id(0)
     offs = starts_ref[i] * jnp.int32(WBE)
     nb = nb_ref[0]
 
     # Assemble and transpose each band array: bandT[l, r] = band[r, l].
     bandT = []
-    for a in range(n_limbs + 1):
+    for a in range(n_limbs + n_vals):
         blocks = [band_refs[a * PULL + t][...] for t in range(PULL)]
         band = jnp.concatenate(blocks, axis=0)  # (BR, 128)
         if BR < LANES:
@@ -111,7 +117,7 @@ def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
                            constant_values=_I32_MAX)
         bandT.append(_t128_exact(band))
     keyT = bandT[:n_limbs]
-    valT = bandT[n_limbs]
+    valTs = bandT[n_limbs:]
 
     shape = ps[0].shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -121,7 +127,7 @@ def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
         return jnp.broadcast_to(tarr[r:r + 1, :], shape)
 
     rowlast = [bcast_row(t, LANES - 1) for t in keyT]  # band[r, 127] at lane r
-    rowlast_v = bcast_row(valT, LANES - 1)
+    rowlast_vs = [bcast_row(t, LANES - 1) for t in valTs]
 
     # Level 1: boundary row cr = #rows whose LAST element is "le" p, where
     # le is (key < p) | (key == p & element index real). Rows containing
@@ -141,7 +147,7 @@ def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
     in_band = cr < jnp.int32(BR)
     crc = jnp.minimum(cr, jnp.int32(BR - 1))
 
-    # Pre-seed value/equality from the last element of row cr-1 (covers
+    # Pre-seed values/equality from the last element of row cr-1 (covers
     # partial == 0, where the match candidate sits one row up).
     prev_r = jnp.maximum(cr - 1, 0)
     kprev = [_gather_lanes(r, prev_r) for r in rowlast]
@@ -153,58 +159,70 @@ def _probe_band_kernel(starts_ref, nb_ref, *refs, n_limbs: int):
     # count == 0 contract: val_prev = vals[0] (callers only read val_prev
     # where eq, but the searchsorted parity tests pin vals[max(count-1,0)])
     zero = lane_iota * 0
-    vp_acc = jnp.where(has_prev, _gather_lanes(rowlast_v, prev_r),
-                       _gather_lanes(bcast_row(valT, 0), zero))
+    vp_accs = [jnp.where(has_prev, _gather_lanes(rv, prev_r),
+                         _gather_lanes(bcast_row(vt, 0), zero))
+               for rv, vt in zip(rowlast_vs, valTs)]
 
     # Level 2: lane sweep of the boundary row. le is monotone along l, so
     # "where(le, ...)" tracking lands on the last match; val_next comes
     # from the first non-le lane (or row cr+1 lane 0 if the row is all-le).
     cnt = jnp.zeros(shape, jnp.int32)
-    vn_acc = jnp.zeros(shape, jnp.int32)
+    vn_accs = [jnp.zeros(shape, jnp.int32) for _ in valTs]
     vn_done = jnp.zeros(shape, jnp.bool_)
     for l in range(LANES):
         ks = [_gather_lanes(bcast_row(t, l), crc) for t in keyT]
-        v = _gather_lanes(bcast_row(valT, l), crc)
+        vs = [_gather_lanes(bcast_row(t, l), crc) for t in valTs]
         lt, eq = _lex_lt_eq(ks, ps)
         real = (offs + crc * LANES + jnp.int32(l)) < nb
         le = (lt | (eq & real)) & in_band
         cnt = cnt + le.astype(jnp.int32)
-        vp_acc = jnp.where(le, v, vp_acc)
         eq_acc = jnp.where(le, eq.astype(jnp.int32), eq_acc)
         take_vn = jnp.logical_not(le) & jnp.logical_not(vn_done) & in_band
-        vn_acc = jnp.where(take_vn, v, vn_acc)
+        for k, v in enumerate(vs):
+            vp_accs[k] = jnp.where(le, v, vp_accs[k])
+            vn_accs[k] = jnp.where(take_vn, v, vn_accs[k])
         vn_done = vn_done | jnp.logical_not(le)
 
     # All 128 lanes le: the next element is row cr+1, lane 0.
     next_r = jnp.minimum(cr + 1, jnp.int32(LANES - 1))
-    vn_row0 = _gather_lanes(bcast_row(valT, 0), next_r)
-    vn_acc = jnp.where(vn_done, vn_acc, vn_row0)
+    for k, vt in enumerate(valTs):
+        vn_row0 = _gather_lanes(bcast_row(vt, 0), next_r)
+        vn_accs[k] = jnp.where(vn_done, vn_accs[k], vn_row0)
 
     out_count[...] = offs + cr * jnp.int32(LANES) + cnt
     out_eq[...] = eq_acc
-    out_vp[...] = vp_acc
-    out_vn[...] = vn_acc
+    for o, a in zip(out_vps, vp_accs):
+        o[...] = a
+    for o, a in zip(out_vns, vn_accs):
+        o[...] = a
 
 
 def band_pass_traffic_bytes(m: int, n_limbs: int,
-                            probe_rows: int = PROBE_ROWS) -> int:
+                            probe_rows: int = PROBE_ROWS,
+                            n_vals: int = 1) -> int:
     """HBM bytes of one band-kernel pass over m probes.
 
     Reads the probe limbs, DMAs one PULL-block band window per probe
-    block per array (limbs + vals), writes the 4 i32 outputs."""
+    block per array (limbs + value columns), writes the 2 + 2*n_vals
+    i32 outputs."""
     block = probe_rows * LANES
     grid = (m + block - 1) // block
-    band = grid * PULL * WBE * (n_limbs + 1) * 4
-    return n_limbs * 4 * m + band + 4 * 4 * m
+    band = grid * PULL * WBE * (n_limbs + n_vals) * 4
+    return n_limbs * 4 * m + band + (2 + 2 * n_vals) * 4 * m
 
 
-def _pad_build(build_limbs, vals_i32, min_blocks=PULL):
+def _as_vals_tuple(build_vals):
+    """Accept one value array or a tuple of them."""
+    return build_vals if isinstance(build_vals, tuple) else (build_vals,)
+
+
+def _pad_build(build_limbs, vals, min_blocks=PULL):
     nb = build_limbs[0].shape[0]
     nbb = max((nb + WBE - 1) // WBE, min_blocks)
     padded = nbb * WBE
     bl = tuple(jnp.pad(b, (0, padded - nb), constant_values=_I32_MAX)
                for b in build_limbs)
-    bv = jnp.pad(vals_i32, (0, padded - nb))
+    bv = tuple(jnp.pad(v, (0, padded - nb)) for v in vals)
     return bl, bv, nbb
 
 
@@ -239,18 +257,21 @@ def _call_band(build2d, probes2d, starts, nb, n_limbs, grid, interpret,
             band_specs.append(pl.BlockSpec((WB, LANES), band_map_t(t),
                                            memory_space=pltpu.VMEM))
             band_args.append(arr)
+    n_vals = len(build2d) - n_limbs
+    n_out = 2 + 2 * n_vals
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[p_spec] * n_limbs + band_specs,
-        out_specs=tuple([p_spec] * 4),
+        out_specs=tuple([p_spec] * n_out),
     )
     outs = pl.pallas_call(
-        functools.partial(_probe_band_kernel, n_limbs=n_limbs),
+        functools.partial(_probe_band_kernel, n_limbs=n_limbs,
+                          n_vals=n_vals),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(probes2d[0].shape, jnp.int32)
-            for _ in range(4)),
+            for _ in range(n_out)),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
@@ -272,14 +293,20 @@ def probe_direct(build_limbs, build_vals_i32, probe_limbs,
     m = probe_limbs[0].shape[0]
     assert nb <= DIRECT_MAX, "build too large for the direct band probe"
     n_limbs = len(build_limbs)
-    bl, bv, _ = _pad_build(build_limbs, build_vals_i32)
-    build2d = [b.reshape(-1, LANES) for b in (*bl, bv)]
+    vals = _as_vals_tuple(build_vals_i32)
+    bl, bv, _ = _pad_build(build_limbs, vals)
+    build2d = [b.reshape(-1, LANES) for b in (*bl, *bv)]
     probes2d, grid = _pad_probes(probe_limbs)
     starts = jnp.zeros((grid,), jnp.int32)
     outs = _call_band(build2d, probes2d, starts,
                       jnp.array([nb], jnp.int32), n_limbs, grid, interpret)
-    count, eq, vp, vn = (o.reshape(-1)[:m] for o in outs)
-    return count, eq != 0, vp, vn
+    flat = [o.reshape(-1)[:m] for o in outs]
+    count, eq = flat[0], flat[1] != 0
+    vps = tuple(flat[2:2 + len(vals)])
+    vns = tuple(flat[2 + len(vals):])
+    if not isinstance(build_vals_i32, tuple):
+        return count, eq, vps[0], vns[0]
+    return count, eq, vps, vns
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "probe_rows"))
@@ -303,8 +330,9 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     nb = build_limbs[0].shape[0]
     m = sp_limbs[0].shape[0]
     n_limbs = len(build_limbs)
-    bl, bv, nbb = _pad_build(build_limbs, build_vals_i32)
-    build2d = [b.reshape(-1, LANES) for b in (*bl, bv)]
+    vals = _as_vals_tuple(build_vals_i32)
+    bl, bv, nbb = _pad_build(build_limbs, vals)
+    build2d = [b.reshape(-1, LANES) for b in (*bl, *bv)]
     probes2d, grid = _pad_probes(sp_limbs, probe_rows=probe_rows)
 
     # Block-boundary metadata (tiny): F/L = first/last key per build
@@ -348,5 +376,10 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     outs = _call_band(build2d, probes2d, starts,
                       jnp.array([nb], jnp.int32), n_limbs, grid, interpret,
                       probe_rows=probe_rows)
-    count, eq, vp, vn = (o.reshape(-1)[:m] for o in outs)
-    return count, eq != 0, vp, vn, overflow
+    flat = [o.reshape(-1)[:m] for o in outs]
+    count, eq = flat[0], flat[1] != 0
+    vps = tuple(flat[2:2 + len(vals)])
+    vns = tuple(flat[2 + len(vals):])
+    if not isinstance(build_vals_i32, tuple):
+        return count, eq, vps[0], vns[0], overflow
+    return count, eq, vps, vns, overflow

@@ -482,19 +482,21 @@ def _expand_glue(sposj, valsr, prefix_inc, capacity: int):
 
 
 def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
-    """Band-kernel expansion: 4 passes, all on monotone sorted queries.
+    """Band-kernel expansion: TWO passes, all on monotone sorted queries.
 
-    Pass 1 searches the inclusive prefix with the output rows r=0..cap-1
-    as (already sorted) probes: the searchsorted-right count IS the
-    segment id j, and val_prev IS the exclusive prefix at j. Passes 2-4
-    are monotone gathers expressed as band searches over iota keys
-    (count = idx+1, val_prev = v[idx]). Any band overflow (match ranges
-    too sparse for the window) returns None -> XLA fallback.
+    Pass 1 searches the inclusive match-count prefix with the output rows
+    r=0..cap-1 as (already sorted) probes, carrying (prefix, lb, spos) as
+    three value columns in ONE kernel launch: the searchsorted-right
+    count IS the segment id j, val_prev[0] IS the exclusive prefix at j,
+    and val_next[1..2] ARE lb[j] / spos[j] (val_next = vals[count]).
+    Pass 2 is the final monotone gather of the build values, expressed as
+    a band search over iota keys (val_prev = v[idx]). Any band overflow
+    (match ranges too sparse for the window) returns None -> XLA
+    fallback.
     """
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
     interp = pallas_interpret()
-    m = spos.shape[0]
     nb = svals_i32.shape[0]
     # 128-row probe blocks: 16K outputs per grid step <= the 16K-element
     # band window, so expansions with >= 1 match per spanned probe never
@@ -503,37 +505,25 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     pr = 128
     prefix_inc = _prefix_inc(ub, lb)
     r = jnp.arange(capacity, dtype=jnp.int32)
-    j, _, pex_raw, _, ovf1 = bandprobe.probe_banded_sorted(
-        (prefix_inc,), prefix_inc, (r,), interpret=interp, probe_rows=pr)
+    j, _, vps, vns, ovf1 = bandprobe.probe_banded_sorted(
+        (prefix_inc,), (prefix_inc, lb, spos), (r,), interpret=interp,
+        probe_rows=pr)
     if bool(ovf1):
         return None
-    jc, pex = _expand_banded_mid(j, pex_raw, m)
-    iota_m = jnp.arange(m, dtype=jnp.int32)
-    _, _, lbj, _, ovf2 = bandprobe.probe_banded_sorted(
-        (iota_m,), lb, (jc,), interpret=interp, probe_rows=pr)
-    _, _, sposj, _, ovf3 = bandprobe.probe_banded_sorted(
-        (iota_m,), spos, (jc,), interpret=interp, probe_rows=pr)
-    if bool(ovf2) or bool(ovf3):
-        return None
-    bpos = _expand_banded_bpos(lbj, r, pex, nb)
-    _, _, valsr, _, ovf4 = bandprobe.probe_banded_sorted(
+    lbj, sposj = vns[1], vns[2]
+    bpos = _expand_banded_bpos(lbj, r, j, vps[0], nb)
+    _, _, valsr, _, ovf2 = bandprobe.probe_banded_sorted(
         (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
         interpret=interp, probe_rows=pr)
-    if bool(ovf4):
+    if bool(ovf2):
         return None
     return _expand_glue(sposj, valsr, prefix_inc, capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _expand_banded_mid(j, pex_raw, m: int):
-    # j == 0 rows sit before the first prefix entry: exclusive prefix 0.
-    jc = jnp.minimum(j, jnp.int32(m - 1))
-    pex = jnp.where(j == 0, 0, pex_raw)
-    return jc, pex
-
-
 @functools.partial(jax.jit, static_argnames=("nb",))
-def _expand_banded_bpos(lbj, r, pex, nb: int):
+def _expand_banded_bpos(lbj, r, j, pex_raw, nb: int):
+    # j == 0 rows sit before the first prefix entry: exclusive prefix 0.
+    pex = jnp.where(j == 0, 0, pex_raw)
     return jnp.clip(lbj + (r - pex), jnp.int32(0), jnp.int32(nb - 1))
 
 
