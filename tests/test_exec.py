@@ -497,3 +497,26 @@ def test_hash_join_expand_empty_inputs():
     with pytest.raises(ValueError):
         ex.hash_join_expand(jnp.asarray(build), jnp.asarray(bvals),
                             jnp.asarray(build), capacity=0)
+
+
+def test_bandprobe_multi_value_columns():
+    """Multi-val pass == stacked single-val passes (vp AND vn per col)."""
+    from cl_ops_tpu.ops.exec import bandprobe
+    rng = np.random.RandomState(33)
+    build = np.sort(rng.randint(0, 1 << 20, size=500).astype(np.int32))
+    nb = len(build)
+    v1 = (np.arange(nb) * 3 + 1).astype(np.int32)
+    v2 = (np.arange(nb) * 7 + 2).astype(np.int32)
+    probe = np.sort(rng.randint(0, 1 << 20, size=2000).astype(np.int32))
+    count, eq, vps, vns, ovf = bandprobe.probe_banded_sorted(
+        (jnp.asarray(build),), (jnp.asarray(v1), jnp.asarray(v2)),
+        (jnp.asarray(probe),), interpret=True)
+    assert not bool(ovf)
+    count = np.asarray(count)
+    exp = np.searchsorted(build, probe, side="right")
+    np.testing.assert_array_equal(count, exp)
+    for vals, vp, vn in [(v1, vps[0], vns[0]), (v2, vps[1], vns[1])]:
+        np.testing.assert_array_equal(np.asarray(vp),
+                                      vals[np.maximum(exp - 1, 0)])
+        live = exp < nb
+        np.testing.assert_array_equal(np.asarray(vn)[live], vals[exp[live]])
