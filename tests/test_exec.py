@@ -520,3 +520,45 @@ def test_bandprobe_multi_value_columns():
                                       vals[np.maximum(exp - 1, 0)])
         live = exp < nb
         np.testing.assert_array_equal(np.asarray(vn)[live], vals[exp[live]])
+
+
+def test_hash_join_u64_keys_banded():
+    """Forced banded strategy on two-limb keys (probe sort + band pass)."""
+    rng = np.random.RandomState(35)
+    dim = np.unique((rng.randint(0, 1 << 30, size=200).astype(np.uint64)
+                     << np.uint64(33)) | np.uint64(7))
+    dim[0] = np.uint64(2**64 - 1)
+    dim = np.unique(dim)
+    dv = np.arange(len(dim), dtype=np.int32)
+    probe = np.concatenate([dim[rng.randint(0, len(dim), size=400)],
+                            rng.randint(0, 1000, size=80).astype(np.uint64)])
+    rng.shuffle(probe)
+    found, vals = ex.hash_join(jnp.asarray(dim), jnp.asarray(dv),
+                               jnp.asarray(probe), probe_impl="banded")
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = np.isin(probe, dim)
+    np.testing.assert_array_equal(found, expect)
+    sdim = np.sort(dim)
+    lut = {int(k): i for i, k in enumerate(sdim)}
+    for i in np.nonzero(expect)[0]:
+        assert vals[i] == lut[int(probe[i])]
+
+
+def test_hash_join_expand_u64_keys():
+    rng = np.random.RandomState(36)
+    build = ((rng.randint(0, 8, size=120).astype(np.uint64) << np.uint64(40))
+             | rng.randint(0, 4, size=120).astype(np.uint64))
+    bvals = rng.randint(0, 99, size=120).astype(np.int32)
+    probe = ((rng.randint(0, 10, size=150).astype(np.uint64) << np.uint64(40))
+             | rng.randint(0, 4, size=150).astype(np.uint64))
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe),
+        capacity=8192)
+    exp_pidx, groups = _expand_oracle(build, bvals, probe)
+    assert int(total) == len(exp_pidx)
+    np.testing.assert_array_equal(np.asarray(pidx)[:int(total)], exp_pidx)
+    vals = np.asarray(vals)
+    r = 0
+    for i, mm in groups:
+        np.testing.assert_array_equal(np.sort(vals[r:r + len(mm)]), mm)
+        r += len(mm)
