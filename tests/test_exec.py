@@ -336,6 +336,7 @@ def test_bandprobe_direct_two_limbs():
     np.testing.assert_array_equal(eq, np.isin(pk, key))
 
 
+@pytest.mark.slow
 def test_bandprobe_banded_sorted_parity():
     """Large-build banded pass vs searchsorted, incl. window placement.
 
@@ -370,6 +371,7 @@ def test_bandprobe_banded_sorted_parity():
     np.testing.assert_array_equal(vn[live], vals[count[live]])
 
 
+@pytest.mark.slow
 def test_bandprobe_overflow_detected():
     """A probe block spanning more build rows than one window flags."""
     from cl_ops_tpu.ops.exec import bandprobe
@@ -414,6 +416,7 @@ def _expand_oracle(build, bvals, probe):
     return np.array(pidx, np.int32), groups
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
 def test_hash_join_expand(probe_impl):
     rng = np.random.RandomState(30)
@@ -468,6 +471,7 @@ def test_hash_join_expand_xla_fallback():
     np.testing.assert_array_equal(np.asarray(pidx)[:int(total)], exp_pidx)
 
 
+@pytest.mark.slow
 def test_hash_join_expand_sparse_fallback():
     """1-match-per-probe expansion: output blocks span more probes than
     one band window covers -> overflow -> XLA fallback, same results."""
