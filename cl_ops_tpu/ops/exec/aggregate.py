@@ -134,6 +134,15 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
     later entries are padding. num_groups is the table capacity
     (distinct-key count must not exceed it).
     """
+    if keys.shape[0] == 0:
+        if agg == "count":
+            table_dt = jnp.dtype(jnp.int32)
+        elif agg == "mean":  # same promotion as the divide in the real path
+            table_dt = (jnp.zeros((), values.dtype) / jnp.int32(1)).dtype
+        else:
+            table_dt = values.dtype
+        return (jnp.zeros((num_groups,), keys.dtype),
+                jnp.zeros((num_groups,), table_dt), jnp.int32(0))
     if sorter is None:
         return _sorted_aggregate_pallas(keys, values, num_groups=num_groups,
                                         agg=agg, use_pallas=use_pallas)

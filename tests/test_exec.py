@@ -566,3 +566,18 @@ def test_hash_join_expand_u64_keys():
     for i, mm in groups:
         np.testing.assert_array_equal(np.sort(vals[r:r + len(mm)]), mm)
         r += len(mm)
+
+
+def test_group_aggregate_sorted_empty():
+    e = jnp.asarray(np.array([], np.uint32))
+    ev = jnp.asarray(np.array([], np.int32))
+    for agg in ("sum", "count", "min", "max", "mean"):
+        gk, table, cnt = ex.group_aggregate_sorted(e, ev, num_groups=4,
+                                                   agg=agg)
+        assert int(cnt) == 0
+        assert table.shape == (4,)
+        # dtype matches the non-empty path's
+        k1 = jnp.asarray(np.array([1], np.uint32))
+        v1 = jnp.asarray(np.array([2], np.int32))
+        _, t1, _ = ex.group_aggregate_sorted(k1, v1, num_groups=4, agg=agg)
+        assert table.dtype == t1.dtype, agg
