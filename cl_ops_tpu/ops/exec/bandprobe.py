@@ -312,7 +312,8 @@ def probe_direct(build_limbs, build_vals_i32, probe_limbs,
 @functools.partial(jax.jit, static_argnames=("interpret", "probe_rows"))
 def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
                         *, interpret: bool = False,
-                        probe_rows: int = PROBE_ROWS):
+                        probe_rows: int = PROBE_ROWS,
+                        block_bounds=None):
     """Search SORTED probes against an arbitrarily large sorted build.
 
     Band starts are computed at build-block granularity from block-first
@@ -321,6 +322,19 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     SORTED probe plus `overflow`: True when some probe block's build range
     exceeds the pulled window (extreme skew) — results are then unusable
     and the caller must fall back to the merge probe.
+
+    REQUIRES monotone non-decreasing queries unless `block_bounds` is
+    given: each block's window start comes from its FIRST query and the
+    overflow test uses its LAST query, so a query that dips BELOW an
+    earlier query of its block can fall below the window and silently
+    return the window-start value (count/val garbage, overflow False).
+    Callers with non-monotone queries (the join expansion's pass-2 build
+    positions dip back at duplicate probe keys) must pass `block_bounds =
+    (lo_limbs, hi_limbs)`: per-limb `(grid,)` arrays bounding every real
+    query of probe block i inclusively as lo[i] <= q <= hi[i], with
+    grid = ceil(m / (probe_rows*128)). Window starts then derive from lo
+    (start block's first key <= lo, so no query is below the window) and
+    the overflow test from hi.
 
     probe_rows sets the probe block (probe_rows*128 probes per grid
     step). Smaller blocks span fewer build rows per step — the join
@@ -336,16 +350,21 @@ def probe_banded_sorted(build_limbs, build_vals_i32, sp_limbs,
     probes2d, grid = _pad_probes(sp_limbs, probe_rows=probe_rows)
 
     # Block-boundary metadata (tiny): F/L = first/last key per build
-    # block; firstp/lastp = first/last REAL key per probe block.
+    # block; firstp/lastp = first/last REAL key per probe block (or the
+    # caller's explicit lo/hi bounds for non-monotone queries).
     fs = [b.reshape(nbb, WBE)[:, 0] for b in bl]
     ls = [b.reshape(nbb, WBE)[:, -1] for b in bl]
     block = probe_rows * LANES
-    firsts = [c.reshape(-1)[::block] for c in probes2d]
-    # last real probe per block (pads are i32-max and would force every
-    # window to the build end)
-    last_real = jnp.minimum((jnp.arange(grid, dtype=jnp.int32) + 1) * block,
-                            m) - 1
-    lasts = [c[last_real] for c in sp_limbs]
+    if block_bounds is None:
+        firsts = [c.reshape(-1)[::block] for c in probes2d]
+        # last real probe per block (pads are i32-max and would force
+        # every window to the build end)
+        last_real = jnp.minimum(
+            (jnp.arange(grid, dtype=jnp.int32) + 1) * block, m) - 1
+        lasts = [c[last_real] for c in sp_limbs]
+    else:
+        firsts = [jnp.asarray(b) for b in block_bounds[0]]
+        lasts = [jnp.asarray(b) for b in block_bounds[1]]
 
     def lex_le(a_limbs, b_limbs):
         lt = a_limbs[0] < b_limbs[0]

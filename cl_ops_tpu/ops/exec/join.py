@@ -482,17 +482,23 @@ def _expand_glue(sposj, valsr, prefix_inc, capacity: int):
 
 
 def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
-    """Band-kernel expansion: TWO passes, all on monotone sorted queries.
+    """Band-kernel expansion: two band passes over sorted-ish queries.
 
     Pass 1 searches the inclusive match-count prefix with the output rows
     r=0..cap-1 as (already sorted) probes, carrying (prefix, lb, spos) as
     three value columns in ONE kernel launch: the searchsorted-right
     count IS the segment id j, val_prev[0] IS the exclusive prefix at j,
     and val_next[1..2] ARE lb[j] / spos[j] (val_next = vals[count]).
-    Pass 2 is the final monotone gather of the build values, expressed as
-    a band search over iota keys (val_prev = v[idx]). Any band overflow
-    (match ranges too sparse for the window) returns None -> XLA
-    fallback.
+    Queries clamp at total-1 so trailing rows past the true match total
+    replicate the last valid query instead of reading vals[m] garbage.
+    Pass 2 gathers the build values as a band search over iota keys
+    (val_prev = v[idx]). Its queries bpos are NON-monotone: a duplicate
+    probe key dips back to its range's lb at each segment restart, so
+    pass 2 passes EXACT per-block query min/max (one cheap XLA block
+    reduction over bpos) as explicit block_bounds — without them a dip
+    below a window-block boundary silently returned the window-start
+    value. Any band overflow (match ranges too sparse for the window)
+    returns None -> XLA fallback.
     """
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
@@ -503,28 +509,46 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     # overflow (512-row blocks tripped the window exactly at 4 matches/
     # probe and fell into the XLA searchsorted path — 49 s at 64M rows).
     pr = 128
-    prefix_inc = _prefix_inc(ub, lb)
-    r = jnp.arange(capacity, dtype=jnp.int32)
+    prefix_inc, rq = _expand_pass1_queries(ub, lb, capacity)
     j, _, vps, vns, ovf1 = bandprobe.probe_banded_sorted(
-        (prefix_inc,), (prefix_inc, lb, spos), (r,), interpret=interp,
+        (prefix_inc,), (prefix_inc, lb, spos), (rq,), interpret=interp,
         probe_rows=pr)
     if bool(ovf1):
         return None
     lbj, sposj = vns[1], vns[2]
-    bpos = _expand_banded_bpos(lbj, r, j, vps[0], nb)
+    bpos, blo, bhi = _expand_pass2_inputs(lbj, rq, j, vps[0], nb,
+                                          pr * bandprobe.LANES)
     _, _, valsr, _, ovf2 = bandprobe.probe_banded_sorted(
         (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
-        interpret=interp, probe_rows=pr)
+        interpret=interp, probe_rows=pr, block_bounds=((blo,), (bhi,)))
     if bool(ovf2):
         return None
     return _expand_glue(sposj, valsr, prefix_inc, capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
-def _expand_banded_bpos(lbj, r, j, pex_raw, nb: int):
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _expand_pass1_queries(ub, lb, capacity: int):
+    """(prefix_inc, clamped query rows) for the banded expansion pass 1."""
+    prefix_inc = jnp.cumsum(ub - lb, dtype=jnp.int32)
+    total = prefix_inc[prefix_inc.shape[0] - 1]
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    rq = jnp.minimum(r, jnp.maximum(total - 1, 0))
+    return prefix_inc, rq
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "block"))
+def _expand_pass2_inputs(lbj, rq, j, pex_raw, nb: int, block: int):
+    """Pass-2 queries + their exact per-output-block min/max bounds."""
     # j == 0 rows sit before the first prefix entry: exclusive prefix 0.
     pex = jnp.where(j == 0, 0, pex_raw)
-    return jnp.clip(lbj + (r - pex), jnp.int32(0), jnp.int32(nb - 1))
+    bpos = jnp.clip(lbj + (rq - pex), jnp.int32(0), jnp.int32(nb - 1))
+    capacity = rq.shape[0]
+    grid = (capacity + block - 1) // block
+    bp = bpos
+    if grid * block != capacity:  # edge-pad: pads never widen the bounds
+        bp = jnp.pad(bpos, (0, grid * block - capacity), mode="edge")
+    b2 = bp.reshape(grid, block)
+    return bpos, b2.min(axis=1), b2.max(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))

@@ -581,3 +581,55 @@ def test_group_aggregate_sorted_empty():
         v1 = jnp.asarray(np.array([2], np.int32))
         _, t1, _ = ex.group_aggregate_sorted(k1, v1, num_groups=4, agg=agg)
         assert table.dtype == t1.dtype, agg
+
+
+def test_hash_join_expand_dup_probe_window_dip():
+    """Regression: duplicate probe keys make the expansion's pass-2 build
+    positions NON-monotone (each repeated probe dips back to its range's
+    lb). When such a dip crosses a window-block boundary right at an
+    output-block boundary, the dipped query fell BELOW its block's band
+    window and silently returned the window-start value (r2 defect:
+    advisor finding, ops/exec/join.py pass 2). The construction places a
+    2-match key at build rows 32767-32768 (straddling the 4096-aligned
+    window-block boundary) with the straddle landing at output 16384 (the
+    128-row output-block boundary), every block's top-end overflow check
+    passing, and the dup probe's dip at output 16385."""
+    from cl_ops_tpu.ops.exec import join as join_mod
+    runs = np.array([1] * 20480 + [2] + [2] * 6142 + [1] + [2]
+                    + [2] * 4095 + [1] + [1] * (65536 - 40960))
+    bk = np.repeat(np.arange(len(runs), dtype=np.int32), runs)
+    nb = len(bk)
+    assert nb == 65536
+    bv = np.arange(nb, dtype=np.int32) + 100
+    pk = np.concatenate([
+        np.full(2049, bk[20480], np.int32),   # dup probes, dips in-window
+        bk[20482:32766:2],                    # 6142 pair keys
+        [bk[32766]],                          # single-row key
+        [bk[32767]], [bk[32767]],             # the straddling key, TWICE
+        np.repeat(bk[32769:40959:2], 2),      # tail pairs probed twice
+        [bk[40959]],
+    ]).astype(np.int32)
+    capacity = 32768
+    # the banded path must produce this itself — fail if it falls back
+    orig_fallback = join_mod._expand_from_ranges
+    calls = []
+    join_mod._expand_from_ranges = (
+        lambda *a, **k: (calls.append(1), orig_fallback(*a, **k))[1])
+    try:
+        total, pidx, vals = ex.hash_join_expand(
+            jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+            capacity=capacity, build_sorted=True, use_pallas=True)
+    finally:
+        join_mod._expand_from_ranges = orig_fallback
+    assert not calls, "banded expansion fell back to XLA; bug not exercised"
+    total = int(total)
+    order = np.argsort(pk, kind="stable")
+    exp_vals, exp_pidx = [], []
+    for p in order:
+        lo = np.searchsorted(bk, pk[p], side="left")
+        hi = np.searchsorted(bk, pk[p], side="right")
+        exp_vals.extend(bv[lo:hi])
+        exp_pidx.extend([p] * (hi - lo))
+    assert total == len(exp_vals) == capacity
+    np.testing.assert_array_equal(np.asarray(vals)[:total], exp_vals)
+    np.testing.assert_array_equal(np.asarray(pidx)[:total], exp_pidx)
