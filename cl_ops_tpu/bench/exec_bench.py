@@ -109,12 +109,19 @@ def main(argv=None):
             use_pallas=up)
         secs = common.time_async(fn, (jnp.asarray(probe),), args.runs, sync)
         if not args.no_check:
+            # FULL exact oracle (not a sample): random probes with
+            # replacement duplicate keys heavily, which makes the banded
+            # pass-2 queries non-monotone — exactly the shape that once
+            # returned window-start garbage on 8 sampled rows unnoticed.
             total, pidx, vals = fn(jnp.asarray(probe))
-            assert int(total) == args.dup * n
+            assert int(total) == capacity
             pidx, vals = np.asarray(pidx), np.asarray(vals)
-            hk, hv = dim_keys, dim_vals
-            for r in rng.randint(0, capacity, size=8):
-                assert vals[r] in hv[hk == probe[pidx[r]]]
+            order = np.argsort(probe, kind="stable")
+            np.testing.assert_array_equal(pidx, np.repeat(order, args.dup))
+            assert nd % nkeys == 0, "exact check needs dup | 2^dim_log2"
+            per_key = np.asarray(sdv).reshape(nkeys, args.dup)
+            np.testing.assert_array_equal(
+                vals, per_key[probe[order]].reshape(-1))
     else:  # join
         nd = 1 << args.dim_log2
         dim_keys = np.arange(nd, dtype=np.uint32)
