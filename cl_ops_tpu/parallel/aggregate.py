@@ -4,6 +4,11 @@ North-star config ("GROUP BY over 256M rows, 1M groups", BASELINE.json),
 scaled over the mesh: every key's rows land on one chip via the all_to_all
 partition exchange, so per-chip local aggregation is exact and chips hold
 disjoint group sets.
+
+Skew safety: the shuffle's overflow counter is CHECKED (never silently
+discarded) — overflow triggers the adaptive hash -> range-splitter ->
+doubled-capacity re-plan of splitters.keyed_exchange_replan and raises if
+rows would still drop.
 """
 
 from __future__ import annotations
@@ -13,19 +18,26 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cl_ops_tpu.parallel.join import _key_partition
 from cl_ops_tpu.parallel.mesh import DATA_AXIS
-from cl_ops_tpu.parallel.shuffle import partition_exchange
+from cl_ops_tpu.parallel.splitters import keyed_exchange_replan
 from cl_ops_tpu.utils.bits import is_po2
 
 
 def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
                          capacity: int, agg: str = "sum",
-                         axis: str = DATA_AXIS):
+                         axis: str = DATA_AXIS, partition: str = "hash",
+                         max_replan: int = 3, samples_per_chip: int = 256,
+                         use_pallas: bool | None = None):
     """Aggregate values by key across the mesh.
 
     num_groups bounds DISTINCT KEYS PER CHIP (local table capacity);
-    capacity bounds rows per (source chip -> partition) shuffle bucket.
+    capacity bounds rows per (source chip -> partition) shuffle bucket —
+    overflow re-plans adaptively (see keyed_exchange_replan) and raises
+    rather than ever dropping rows.
+
+    use_pallas: sort the local (validity, key, value) rows with the fused
+    Pallas bitonic (psort) instead of lax.sort; needs 4-byte keys and
+    values. Default: on TPU.
 
     Returns (group_keys, table, count) per chip, row-sharded: chip c's
     slice holds `count[c]` valid (key, aggregate) rows in ascending key
@@ -34,15 +46,27 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
-    part = _key_partition(keys, n_chips)
-    counts, _, k, v = partition_exchange(
-        keys, part, mesh, capacity=capacity, axis=axis,
-        extra_cols=(values,))
+    if use_pallas is None:
+        from cl_ops_tpu.utils.platform import on_tpu
+        use_pallas = on_tpu()
+    (res,), (cap,) = keyed_exchange_replan(
+        [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
+        partition=partition, max_replan=max_replan,
+        samples_per_chip=samples_per_chip, op_name="dist_group_aggregate")
+    counts, k, v = res
+
+    from cl_ops_tpu.ops.exec import psort
+    from cl_ops_tpu.ops.sort import keys as keymod
+    from cl_ops_tpu.utils.platform import pallas_interpret
+    interp = pallas_interpret()
+    pallas_local = (use_pallas
+                    and jnp.dtype(keys.dtype).itemsize == 4
+                    and jnp.dtype(values.dtype).itemsize == 4)
 
     def local_fn(c, kl, vl):
         c = c.reshape(-1)
-        kl = kl.reshape(n_chips, capacity)
-        vl = vl.reshape(n_chips, capacity)
+        kl = kl.reshape(n_chips, cap)
+        vl = vl.reshape(n_chips, cap)
         slot = jax.lax.broadcasted_iota(jnp.int32, kl.shape, 1)
         valid = (slot < c[:, None]).reshape(-1)
         kf = kl.reshape(-1)
@@ -52,9 +76,17 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
         # space, so any real key value (incl. dtype extremes) aggregates
         # correctly; _boundary_reduce ignores rows past n_valid.
         inv = jnp.logical_not(valid).astype(jnp.int32)
-        # values sort as tertiary key so min/max reduce by gather (first/
-        # last value of each group), not element-serialized scatter
-        _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=3)
+        if pallas_local:
+            # values sort as the trailing comparator column — same
+            # semantics as lax.sort num_keys=3 (value order within a group
+            # is irrelevant for sum; min/max read group ends by gather)
+            limbs = keymod.to_limbs(kf)
+            out = psort.sort_i32_cols(
+                (inv, *limbs, psort.as_i32(vf)), interpret=interp)
+            sk = keymod.from_limbs(list(out[1:-1]), kf.dtype)
+            sv = psort.from_i32(out[-1], vf.dtype)
+        else:
+            _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=3)
         n_valid = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)
         from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce
         gkeys, table, cnt = _boundary_reduce(sk, sv, num_groups=num_groups,

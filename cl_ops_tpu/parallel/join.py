@@ -1,10 +1,17 @@
 """Distributed hash join: partition-exchange both sides, join locally.
 
 The north-star config ("Distributed hash join: 1B-row fact x 100M-row dim
-... 4-host shuffle", BASELINE.json). Both relations hash-partition on the
-join key over the mesh (parallel/shuffle.py all_to_all exchange), every chip
+... 4-host shuffle", BASELINE.json). Both relations partition on the join
+key over the mesh (parallel/shuffle.py all_to_all exchange), every chip
 joins only its partition, and probe results shuffle back to their origin
 rows — deterministic, collective-only communication.
+
+Skew safety: the shuffles' overflow counters are CHECKED (never silently
+discarded). Under Zipf-skewed keys whose hash buckets overflow, the plan
+escalates to skew-aware range splitters and, if one key alone outweighs a
+bucket, to doubled capacities (splitters.keyed_exchange_replan); persistent
+overflow raises instead of losing rows. The reference's referent for this
+explicit capacity accounting is `clo_sort_satradix.c:242-257`.
 """
 
 from __future__ import annotations
@@ -14,29 +21,64 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cl_ops_tpu.ops.exec.join import hash_u32
 from cl_ops_tpu.parallel.mesh import DATA_AXIS
-from cl_ops_tpu.parallel.shuffle import partition_exchange
-from cl_ops_tpu.utils.bits import log2_floor, is_po2
+from cl_ops_tpu.parallel.splitters import (hash_partition_ids,
+                                           keyed_exchange_replan)
+from cl_ops_tpu.utils.bits import is_po2
+
+_I32_MAX = 0x7FFFFFFF
 
 
 def _key_partition(keys, n_chips: int):
-    """Hash partition id in [0, n_chips) (Fibonacci hash high bits)."""
-    bits = log2_floor(n_chips)
-    if bits == 0:
-        return jnp.zeros(keys.shape, jnp.int32)
-    return hash_u32(keys, bits)
+    return hash_partition_ids(keys, n_chips)
+
+
+def _local_table_probe_pallas(skey_limbs, sval_i32, pkey, interp):
+    """Band-kernel local probe: (idx_l, idx_r, first-match val as i32).
+
+    The direct band probe (no probe sort, no restore) searches the sorted
+    local table twice — key for the upper bound, key-1 for the lower — the
+    same two-pass structure as the single-chip `_probe_sorted_multi`
+    (ops/exec/join.py). Invalid table slots hold the normalized-limb max;
+    callers clip counts at nv.
+    """
+    from cl_ops_tpu.ops.exec import bandprobe
+    from cl_ops_tpu.ops.exec.join import _limbs_minus_one
+    from cl_ops_tpu.ops.sort import keys as keymod
+    p_limbs = tuple(keymod.to_limbs(pkey))
+    ub, _, _, _ = bandprobe.probe_direct(skey_limbs, sval_i32, p_limbs,
+                                         interpret=interp)
+    pm1, is_min = _limbs_minus_one(p_limbs)
+    lb, _, _, vnext = bandprobe.probe_direct(skey_limbs, sval_i32, pm1,
+                                             interpret=interp)
+    lb = jnp.where(is_min, 0, lb)
+    vnext = jnp.where(is_min, sval_i32[0], vnext)
+    return lb, ub, vnext
 
 
 def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
                    capacity_build: int, capacity_probe: int,
                    axis: str = DATA_AXIS, unique_build: bool = True,
-                   join_type: str = "inner"):
+                   join_type: str = "inner", partition: str = "hash",
+                   max_replan: int = 3, samples_per_chip: int = 256,
+                   use_pallas: bool | None = None):
     """Equi-join of row-sharded relations.
 
     capacity_* bound rows per (source chip -> partition) bucket in the two
-    shuffles (static shapes). All outputs are row-sharded and aligned with
-    probe_keys' original layout:
+    shuffles (static shapes). Overflowing buckets trigger an adaptive
+    re-plan (hash -> range splitters -> doubled capacities, see
+    keyed_exchange_replan) and raise if rows would still drop — the join
+    never silently loses rows under skew.
+
+    partition: "hash" or "range" (start from skew-aware splitters sampled
+    from the probe side — the right opener for known-Zipf fact keys).
+    use_pallas: run the local probe through the direct band kernel
+    (requires the local table, n_chips * capacity_build rows after any
+    re-plan, to fit bandprobe.DIRECT_MAX and 4-byte keys/values; larger
+    tables fall back to the XLA searchsorted local join). Default: on TPU.
+
+    All outputs are row-sharded and aligned with probe_keys' original
+    layout:
       inner + unique_build:     (found, vals)
       inner + not unique_build: (match_count, first_vals) — value of the
         first match in build-key order (bounded-output compromise)
@@ -44,33 +86,44 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
+    if use_pallas is None:
+        from cl_ops_tpu.utils.platform import on_tpu
+        use_pallas = on_tpu()
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
     n_probe = probe_keys.shape[0]
     shard_len = n_probe // n_chips
 
-    # 1. shuffle the build side by key hash
-    bpart = _key_partition(build_keys, n_chips)
-    bcounts, _, bk, bv = partition_exchange(
-        build_keys, bpart, mesh, capacity=capacity_build, axis=axis,
-        extra_cols=(build_vals,))
-
-    # 2. shuffle the probe side, carrying global row ids
+    # 1+2. shuffle both sides by the same key partition, carrying build
+    # values / global probe row ids; re-plan adaptively on overflow.
     gidx = jnp.arange(n_probe, dtype=jnp.int32)
-    ppart = _key_partition(probe_keys, n_chips)
-    pcounts, _, pk, pg = partition_exchange(
-        probe_keys, ppart, mesh, capacity=capacity_probe, axis=axis,
-        extra_cols=(gidx,))
+    (bres, pres), (cb, cp) = keyed_exchange_replan(
+        [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+        capacities=(capacity_build, capacity_probe), axis=axis,
+        partition=partition, max_replan=max_replan,
+        samples_per_chip=samples_per_chip, splitter_side=1,
+        op_name="dist_hash_join")
+    bcounts, bk, bv = bres
+    pcounts, pk, pg = pres
+
+    from cl_ops_tpu.ops.exec import bandprobe, psort
+    from cl_ops_tpu.ops.sort import keys as keymod
+    from cl_ops_tpu.utils.platform import pallas_interpret
+    interp = pallas_interpret()
+    table_len = n_chips * cb
+    pallas_local = (use_pallas and table_len <= bandprobe.DIRECT_MAX
+                    and jnp.dtype(build_vals.dtype).itemsize == 4
+                    and jnp.dtype(build_keys.dtype).itemsize == 4)
 
     # 3. local join per chip + route results back by origin chip
     def local_fn(bc, bkl, bvl, pc, pkl, pgl):
         bc = bc.reshape(-1)
         pc = pc.reshape(-1)
-        bkl = bkl.reshape(n_chips, capacity_build)
-        bvl = bvl.reshape(n_chips, capacity_build)
-        pkl = pkl.reshape(n_chips, capacity_probe)
-        pgl = pgl.reshape(n_chips, capacity_probe)
+        bkl = bkl.reshape(n_chips, cb)
+        bvl = bvl.reshape(n_chips, cb)
+        pkl = pkl.reshape(n_chips, cp)
+        pgl = pgl.reshape(n_chips, cp)
         slot_b = jax.lax.broadcasted_iota(jnp.int32, bkl.shape, 1)
         valid_b = slot_b < bc[:, None]
         slot_p = jax.lax.broadcasted_iota(jnp.int32, pkl.shape, 1)
@@ -78,45 +131,60 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
 
         # Build a sorted local dim table with validity as the PRIMARY sort
         # key (invalid slots last) — validity never enters key space, so a
-        # real key equal to the dtype max still joins correctly. For
-        # searchsorted the trailing invalid slots then take the dtype max
-        # (keeps the array monotone); the svalid flag disambiguates probes
-        # whose key happens to equal that fill.
+        # real key equal to the dtype max still joins correctly.
         inv_b = jnp.logical_not(valid_b).astype(jnp.int32).reshape(-1)
-        _, skey, sval, svalid_i = jax.lax.sort(
-            [inv_b, bkl.reshape(-1), bvl.reshape(-1),
-             valid_b.astype(jnp.int32).reshape(-1)], num_keys=2)
-        svalid = svalid_i > 0
-        kdt = jnp.dtype(skey.dtype)
-        maxk = (jnp.asarray(jnp.iinfo(kdt).max, kdt)
-                if jnp.issubdtype(kdt, jnp.integer)
-                else jnp.asarray(jnp.inf, kdt))
-        skey = jnp.where(svalid, skey, maxk)
-
-        pkey = pkl.reshape(-1)
         nv = jnp.sum(bc, dtype=jnp.int32)  # valid build rows (prefix)
-        idx_l = jnp.searchsorted(skey, pkey, side="left").astype(jnp.int32)
-        idx_r = jnp.searchsorted(skey, pkey, side="right").astype(jnp.int32)
-        # clip to the valid prefix: probes equal to the maxk fill must not
-        # count the invalid fill slots
+        pkey = pkl.reshape(-1)
+        if pallas_local:
+            # Pallas local path: sort the table with the fused bitonic
+            # (psort) and search it with the direct band kernel.
+            bl_limbs = keymod.to_limbs(bkl.reshape(-1))
+            sout = psort.sort_i32_cols(
+                (inv_b, *bl_limbs, psort.as_i32(bvl.reshape(-1))),
+                interpret=interp)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (table_len,), 0)
+            svalid = pos < nv
+            s_limbs = tuple(jnp.where(svalid, l, jnp.int32(_I32_MAX))
+                            for l in sout[1:-1])
+            sval_i32 = psort.as_i32(sout[-1])
+            idx_l, idx_r, vnext = _local_table_probe_pallas(
+                s_limbs, sval_i32, pkey, interp)
+            val = psort.from_i32(vnext, bvl.dtype)
+        else:
+            # XLA local path. For searchsorted the trailing invalid slots
+            # take the dtype max (keeps the array monotone); counts clip
+            # at nv so probes equal to that fill never count fill slots.
+            _, skey, sval, svalid_i = jax.lax.sort(
+                [inv_b, bkl.reshape(-1), bvl.reshape(-1),
+                 valid_b.astype(jnp.int32).reshape(-1)], num_keys=2)
+            svalid = svalid_i > 0
+            kdt = jnp.dtype(skey.dtype)
+            maxk = (jnp.asarray(jnp.iinfo(kdt).max, kdt)
+                    if jnp.issubdtype(kdt, jnp.integer)
+                    else jnp.asarray(jnp.inf, kdt))
+            skey = jnp.where(svalid, skey, maxk)
+            idx_l = jnp.searchsorted(skey, pkey,
+                                     side="left").astype(jnp.int32)
+            idx_r = jnp.searchsorted(skey, pkey,
+                                     side="right").astype(jnp.int32)
+            val = jnp.take(sval, jnp.minimum(idx_l, table_len - 1))
         cnt = (jnp.minimum(idx_r, nv) - jnp.minimum(idx_l, nv)) \
             * valid_p.reshape(-1).astype(jnp.int32)
-        idx = jnp.minimum(idx_l, skey.shape[0] - 1)
-        hit = cnt > 0
-        val = jnp.take(sval, idx)
 
         # 4. send (gidx, found, val) back to the origin chip
         g = pgl.reshape(-1)
         origin = jnp.where(valid_p.reshape(-1), g // shard_len,
                            jnp.int32(n_chips))  # invalid rows -> dropped
-        cap_back = capacity_probe  # per-origin bucket bound
+        # rows received from origin o number <= cp, so cp-sized return
+        # buckets can never overflow
+        cap_back = cp
         m = g.shape[0]
         order2 = jnp.argsort(origin, stable=True)
         so = jnp.take(origin, order2)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        pos2 = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
         start = jnp.searchsorted(so, jnp.arange(
             n_chips, dtype=so.dtype)).astype(jnp.int32)
-        rank = pos - jnp.take(start, jnp.minimum(so, n_chips - 1))
+        rank = pos2 - jnp.take(start, jnp.minimum(so, n_chips - 1))
         dest = jnp.minimum(so, n_chips) * cap_back + rank
         dest = jnp.where((so < n_chips) & (rank < cap_back), dest,
                          n_chips * cap_back)

@@ -23,6 +23,89 @@ from cl_ops_tpu.parallel.mesh import DATA_AXIS
 from cl_ops_tpu.parallel.shuffle import partition_exchange
 
 
+def hash_partition_ids(keys, n_chips: int):
+    """Hash partition id in [0, n_chips) (Fibonacci hash high bits)."""
+    from cl_ops_tpu.ops.exec.join import hash_u32
+    from cl_ops_tpu.utils.bits import log2_floor
+    bits = log2_floor(n_chips)
+    if bits == 0:
+        return jnp.zeros(keys.shape, jnp.int32)
+    return hash_u32(keys, bits)
+
+
+def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
+                          axis: str = DATA_AXIS, partition: str = "hash",
+                          max_replan: int = 3, samples_per_chip: int = 256,
+                          splitter_side: int | None = None,
+                          op_name: str = "keyed_exchange"):
+    """Partition-exchange keyed relations together, re-planning on overflow.
+
+    Every side routes by the SAME function of its key column, so equal keys
+    from all sides land on the same chip — the join/aggregate co-location
+    invariant (the reference's analog of explicit aux-capacity accounting:
+    `clo_sort_satradix.c:242-257` sizes its buffers and never drops).
+
+    Args:
+      sides: sequence of (keys, extra_cols) pairs, all row-sharded.
+      capacities: per-side starting (src chip -> partition) bucket bounds.
+      partition: "hash" (Fibonacci-hash high bits) or "range"
+        (equal-frequency splitters from a strided key sample).
+      splitter_side: which side's keys feed plan_splitters (default: the
+        longest side — row balance matters most where the rows are).
+
+    The `dropped` counters partition_exchange returns are CHECKED here (one
+    host sync per attempt). On any overflow the plan escalates: hash
+    switches to range splitters (skew balances by row count, not key
+    space); later attempts quadruple the splitter sample and DOUBLE every
+    overflowing side's capacity (a single key heavier than one bucket
+    cannot be split — only capacity absorbs it). After `max_replan`
+    escalations with rows still dropping, raises RuntimeError: rows are
+    never silently lost.
+
+    Returns (results, final_capacities): results[i] = (counts, out_keys,
+    *out_cols) for side i in partition_exchange's bucket layout, with
+    final_capacities[i] the bucket bound actually used.
+    """
+    import numpy as np
+    if partition not in ("hash", "range"):
+        raise ValueError(f"unknown partition {partition!r}")
+    n_chips = mesh.shape[axis]
+    caps = list(capacities)
+    if splitter_side is None:
+        splitter_side = max(range(len(sides)),
+                            key=lambda i: sides[i][0].shape[0])
+    mode = partition
+    attempt = 0
+    while True:
+        if mode == "hash":
+            pids = [hash_partition_ids(k, n_chips) for k, _ in sides]
+        else:
+            spl = plan_splitters(sides[splitter_side][0], mesh,
+                                 samples_per_chip=samples_per_chip,
+                                 axis=axis)
+            pids = [jnp.searchsorted(spl, k).astype(jnp.int32)
+                    for k, _ in sides]
+        results, drops = [], []
+        for (k, cols), pid, cap in zip(sides, pids, caps):
+            counts, dropped, *outs = partition_exchange(
+                k, pid, mesh, capacity=cap, axis=axis, extra_cols=cols)
+            results.append((counts, *outs))
+            drops.append(int(np.asarray(jax.device_get(dropped)).sum()))
+        if not any(drops):
+            return results, tuple(caps)
+        if attempt >= max_replan:
+            raise RuntimeError(
+                f"{op_name}: shuffle overflow persists after {attempt} "
+                f"re-plans (dropped rows per side: {drops}, capacities "
+                f"{caps}); raise the capacity bounds")
+        attempt += 1
+        if mode == "hash":
+            mode = "range"  # skew-aware: balance row counts, not key space
+        else:
+            samples_per_chip *= 4
+            caps = [c * 2 if d else c for c, d in zip(caps, drops)]
+
+
 def plan_splitters(keys, mesh: Mesh, *, samples_per_chip: int = 256,
                    axis: str = DATA_AXIS):
     """Compute n_chips-1 equal-frequency splitters from a strided sample.

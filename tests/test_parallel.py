@@ -286,3 +286,143 @@ def test_dist_hash_join_non_unique_and_semi(mesh8):
         capacity_build=len(build), capacity_probe=len(probe),
         join_type="anti")
     np.testing.assert_array_equal(np.asarray(anti), ~np.isin(probe, build))
+
+
+def test_dist_hash_join_zipf_replan(mesh8):
+    """Zipf(1.2) probe keys whose uniform-share buckets overflow: the join
+    must re-plan (hash -> range splitters -> doubled capacity), return the
+    exact answer, and lose zero rows (r2 VERDICT item 1)."""
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    from cl_ops_tpu.parallel.shuffle import partition_exchange
+    from cl_ops_tpu.parallel.splitters import hash_partition_ids
+    import jax.numpy as jnp
+    rng = np.random.default_rng(50)
+    n = 8 * 1024
+    probe = (rng.zipf(1.2, size=n) % (1 << 16)).astype(np.uint32)
+    nb = 8 * 64
+    dim_keys = np.arange(nb, dtype=np.uint32)  # covers the heavy low keys
+    dim_vals = (dim_keys * 5 + 3).astype(np.int32)
+    cap_probe = (n // 8) // 8  # exactly the uniform share: no headroom
+    # prove adversarial: the plain hash shuffle at this capacity drops rows
+    pid = hash_partition_ids(jnp.asarray(probe), 8)
+    _, dropped, _ = partition_exchange(jnp.asarray(probe), pid, mesh8,
+                                       capacity=cap_probe)
+    assert int(np.asarray(dropped).sum()) > 0, "case must overflow hash"
+    found, vals = dist_hash_join(
+        jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(probe),
+        mesh8, capacity_build=nb, capacity_probe=cap_probe,
+        samples_per_chip=64)
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = probe < nb
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(vals[expect],
+                                  (probe[expect] * 5 + 3).astype(np.int32))
+
+
+def test_dist_hash_join_overflow_raises(mesh8):
+    """Persistent overflow (one dominant key, no replan budget) must raise,
+    never silently drop rows."""
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    n = 8 * 64
+    probe = np.full(n, 7, np.uint32)  # one key: unsplittable by design
+    dim_keys = np.arange(8, dtype=np.uint32)
+    dim_vals = dim_keys.astype(np.int32)
+    with pytest.raises(RuntimeError, match="overflow persists"):
+        dist_hash_join(jnp.asarray(dim_keys), jnp.asarray(dim_vals),
+                       jnp.asarray(probe), mesh8, capacity_build=8,
+                       capacity_probe=8, max_replan=1)
+
+
+def test_dist_group_aggregate_zipf_replan(mesh8):
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    import jax.numpy as jnp
+    rng = np.random.default_rng(51)
+    n = 8 * 1024
+    keys = (rng.zipf(1.2, size=n) % 4096).astype(np.uint32)
+    vals = rng.integers(1, 9, size=n).astype(np.int32)
+    cap = (n // 8) // 8  # uniform share, overflows under the Zipf head
+    gk, table, cnt = dist_group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), mesh8,
+        num_groups=4096, capacity=cap, agg="sum", samples_per_chip=64)
+    gk = np.asarray(gk).reshape(8, -1)
+    table = np.asarray(table).reshape(8, -1)
+    cnt = np.asarray(cnt).reshape(8)
+    got = {}
+    for c in range(8):
+        for i in range(cnt[c]):
+            got[int(gk[c, i])] = int(table[c, i])
+    expect = {int(k): int(vals[keys == k].sum()) for k in np.unique(keys)}
+    assert got == expect
+
+
+def test_dist_hash_join_pallas_local(mesh8):
+    """The Pallas local path: psort table sort + direct band probe under
+    shard_map (interpret mode on CPU), incl. the 0xFFFFFFFF edge key."""
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    rng = np.random.RandomState(52)
+    dim_keys = np.unique(np.concatenate([
+        rng.randint(0, 1 << 20, size=300).astype(np.uint32),
+        np.array([0xFFFFFFFF, 0], np.uint32)]))
+    nb = (len(dim_keys) // 8) * 8
+    dim_keys = dim_keys[:nb]
+    dim_vals = (dim_keys * 3 + 1).astype(np.uint32)
+    fact = np.concatenate([
+        dim_keys[rng.randint(0, nb, size=8 * 100)],
+        np.full(8, 0xFFFFFFFF, np.uint32),
+        rng.randint(1 << 20, 1 << 21, size=8 * 27).astype(np.uint32)])
+    rng.shuffle(fact)
+    for unique_build in (True, False):
+        out = dist_hash_join(
+            jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(fact),
+            mesh8, capacity_build=nb, capacity_probe=len(fact),
+            use_pallas=True, unique_build=unique_build)
+        got, vals = np.asarray(out[0]), np.asarray(out[1])
+        expect = np.isin(fact, dim_keys)
+        if unique_build:
+            np.testing.assert_array_equal(got, expect)
+        else:
+            np.testing.assert_array_equal(got > 0, expect)
+        np.testing.assert_array_equal(vals[expect], fact[expect] * 3 + 1)
+
+
+def test_dist_group_aggregate_pallas_local(mesh8):
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    import jax.numpy as jnp
+    rng = np.random.RandomState(53)
+    n = 8 * 256
+    keys = rng.choice(np.array([0xFFFFFFFF, 1, 2, 77], np.uint32), size=n)
+    vals = rng.randint(1, 10, size=n).astype(np.int32)
+    gk, table, cnt = dist_group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), mesh8,
+        num_groups=64, capacity=n, agg="sum", use_pallas=True)
+    gk = np.asarray(gk).reshape(8, 64)
+    table = np.asarray(table).reshape(8, 64)
+    cnt = np.asarray(cnt).reshape(8)
+    got = {}
+    for c in range(8):
+        for i in range(cnt[c]):
+            got[int(gk[c, i])] = int(table[c, i])
+    expect = {int(k): int(vals[keys == k].sum()) for k in np.unique(keys)}
+    assert got == expect
+
+
+def test_dist_hash_join_range_partition(mesh8):
+    """partition='range' opener: splitters sampled from the probe side."""
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    import jax.numpy as jnp
+    rng = np.random.RandomState(54)
+    nb = 8 * 32
+    dim_keys = np.arange(nb, dtype=np.uint32) * 3
+    dim_vals = (dim_keys + 9).astype(np.int32)
+    fact = rng.randint(0, 3 * nb, size=8 * 128).astype(np.uint32)
+    found, vals = dist_hash_join(
+        jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(fact),
+        mesh8, capacity_build=nb, capacity_probe=8 * 128,
+        partition="range", samples_per_chip=32)
+    found, vals = np.asarray(found), np.asarray(vals)
+    expect = fact % 3 == 0
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(vals[expect],
+                                  (fact[expect] + 9).astype(np.int32))
