@@ -206,6 +206,13 @@ def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
     from cl_ops_tpu.ops.exec import bandprobe
     if probe_impl not in ("auto", "direct", "banded", "merge"):
         raise ValueError(f"unknown probe_impl {probe_impl!r}")
+    if probe_impl in ("direct", "banded") and not use_pallas:
+        # use_pallas=False also covers auto-demotion for non-4-byte build
+        # values: the band kernels would run on (n, 2)-shaped i32 bitcasts
+        # and fail with confusing shape errors
+        raise ValueError(
+            f"probe_impl={probe_impl!r} requires the Pallas path "
+            "(use_pallas=True and 4-byte build values)")
     if probe_impl == "direct" and nb > bandprobe.DIRECT_MAX:
         raise ValueError("build side too large for probe_impl='direct'")
     if probe_impl != "auto":
@@ -385,7 +392,14 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
       join_type: "inner" | "semi" | "anti".
       probe_impl: "auto" (direct band kernel for small builds, sorted
         band probe otherwise, merge fallback on band overflow) |
-        "direct" | "banded" | "merge".
+        "direct" | "banded" | "merge". "direct"/"banded" require the
+        Pallas path (use_pallas=True and 4-byte build values).
+
+    NOT wrappable in jax.jit when the banded strategy is in play: the
+    band-overflow fallback reads `bool(ovf)` on a device array (a host
+    sync per band pass; TracerBoolConversionError under an outer jit).
+    Pipelines that must stay in ONE jit pin probe_impl="direct" (small
+    build sides) or "merge", as models/pipeline.py does.
 
     Returns:
       inner + unique_build: (found, vals) — vals undefined where not
@@ -594,7 +608,8 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
         it the output is TRUNCATED — check `total` and re-run with a
         larger capacity (the same contract as partition_exchange's
         fixed-capacity buckets).
-      (other args as `hash_join`.)
+      (other args as `hash_join`; like it, the banded path host-syncs on
+      band-overflow flags and is not wrappable in an outer jax.jit.)
 
     Returns:
       (total, probe_idx, vals): `total` (i32 scalar) counts all matches;

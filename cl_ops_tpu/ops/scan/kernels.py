@@ -397,10 +397,13 @@ def scan_1d(x, *, sum_dtype, exclusive=True, block_rows=512, interpret=False,
       single_pass: integer sums run the single-kernel carry scan (2 HBM
         sweeps — read input, write output; the "lookback" registry impl);
         False (default) keeps the 3-phase base-fed design (block sums in
-        XLA + one Pallas pass). Floats always use the 3-phase path. The
-        narrow (32-bit-sum) single-pass kernel currently hangs the Mosaic
-        compile on v5e (under bisection); the wide (64-bit-sum) variant is
-        hardware-validated at 1.94 GV/s.
+        XLA + one Pallas pass). Floats always use the 3-phase path. Both
+        the narrow (32-bit-sum) and wide (64-bit-sum) single-pass kernels
+        are hardware-validated on v5e. (An early narrow variant hung the
+        Mosaic compile; bisected to the pl.when + dimension_semantics=
+        ("arbitrary",) combination — the shipped kernels omit "arbitrary"
+        and rely on Mosaic's default sequential grid order for the serial
+        SMEM carry; see the inline note at the narrow carry kernel.)
     """
     n = x.shape[0]
     sum_dtype = jnp.dtype(sum_dtype)
