@@ -158,6 +158,14 @@ def main(argv=None):
              psort.sort_traffic_bytes(m, 2)
              + bandprobe.band_pass_traffic_bytes(m, 1)
              + psort.sort_traffic_bytes(m, 2))
+        # sorted_output drops the restore sort (consumers that re-sort or
+        # gather via probe_rows — the aggregate-after-join shape)
+        jfs = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True,  # noqa
+                                     sorted_output=True)
+        dts = _timed(jfs, (probe,), runs, sync)
+        emit("join_probe_16Mx1M_sorted", m / dts / 1e6, "Mrows/s", dts,
+             psort.sort_traffic_bytes(m, 2)
+             + bandprobe.band_pass_traffic_bytes(m, 1))
 
     if 6 in configs:
         # 6. full join expansion: 16M probes x 4 matches each against a

@@ -97,7 +97,7 @@ def _merge_stage(build_limbs, build_vals_i32, sp_limbs, sp_merged):
 
 
 def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
-                use_pallas: bool = True):
+                use_pallas: bool = True, sorted_output: bool = False):
     """Counts-and-gathers core of the merge-join probe.
 
     Keys are tuples of normalized i32 limbs (keys.py — 1 for 32-bit, 2 for
@@ -107,13 +107,16 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
     gathers — no per-probe binary search (jnp.searchsorted costs
     ~log2(nb) rounds of random gathers on TPU, ~10x slower at 16M x 1M).
 
-    Returns, in ORIGINAL probe order:
+    Returns, in ORIGINAL probe order (or SORTED probe order when
+    sorted_output, skipping the restore sort):
       counts_leq — #build keys <= probe key
       eq         — build key at counts_leq-1 == probe (match on the
                    upper-bound side)
       val_prev   — build_vals[counts_leq-1]  (unique-key match value)
       val_next   — build_vals[counts_leq]    (first-match value when the
                    counts counted strictly-less keys)
+      spos       — sorted_output only: original probe row per output row
+                   (None otherwise)
     """
     nl = len(build_limbs)
     nb = build_limbs[0].shape[0]
@@ -131,11 +134,17 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
         sp = _jit_sort_cols((*probe_limbs, merged_p))
         key3, counts, val_prev, val_next = _merge_stage(
             tuple(build_limbs), build_vals_i32, tuple(sp[:nl]), sp[nl])
+        if sorted_output:  # key3 = spos*2 + eq — no restore sort needed
+            return (counts, (key3 & 1) > 0, val_prev, val_next,
+                    jax.lax.shift_right_logical(key3, jnp.int32(1)))
         skey3, rc, rvp, rvn = _jit_sort_cols(
             (key3, counts, val_prev, val_next))
-        return rc, (skey3 & 1) > 0, rvp, rvn
-    return _merge_rank_xla(tuple(build_limbs), build_vals_i32,
-                           tuple(probe_limbs))
+        return rc, (skey3 & 1) > 0, rvp, rvn, None
+    rc, eq, rvp, rvn = _merge_rank_xla(tuple(build_limbs), build_vals_i32,
+                                       tuple(probe_limbs))
+    if sorted_output:
+        return rc, eq, rvp, rvn, jnp.arange(m, dtype=jnp.int32)
+    return rc, eq, rvp, rvn, None
 
 
 @jax.jit
@@ -265,16 +274,20 @@ def _banded_passes(bl, vals_i32, plimbs, passes):
 
 
 def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
-                  use_pallas: bool = True, probe_impl: str = "auto"):
-    """Unique-build-key probe: (found, vals) per probe row.
+                  use_pallas: bool = True, probe_impl: str = "auto",
+                  sorted_output: bool = False):
+    """Unique-build-key probe: (found, vals, spos|None) per output row.
 
     Small build sides (<= bandprobe.DIRECT_MAX rows) take the direct band
     kernel: binary-search counts in ORIGINAL probe order — no probe sort,
     no restore sort. Larger builds sort the probes, band-probe them, and
     restore with one 2-column sort (bandprobe.py); band overflow (extreme
     skew) and use_pallas=False fall back to the merge-structured probe.
-    Pallas pipelines are staged into separate jit modules (see
-    _jit_sort_cols); limb/bitcast glue runs via tiny jits.
+    sorted_output skips every restore sort: outputs stay in the probe
+    order the strategy produced and spos maps output rows to original
+    probe rows (None means original order already). Pallas pipelines are
+    staged into separate jit modules (see _jit_sort_cols); limb/bitcast
+    glue runs via tiny jits.
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
@@ -286,35 +299,41 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
         from cl_ops_tpu.utils.platform import pallas_interpret
         _, eq, val_prev, _ = bandprobe.probe_direct(
             bl, vals_i32, plimbs, interpret=pallas_interpret())
-        return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
+        return eq, psort.from_i32(val_prev, build_vals_sorted.dtype), None
     if strat == "banded":
         spos, _, res = _banded_passes(bl, vals_i32, plimbs,
                                       [lambda s: s])
         if res is not None:
             _, eq, vp, _ = res[0]
+            if sorted_output:  # skip the restore sort entirely
+                return eq, psort.from_i32(
+                    vp, build_vals_sorted.dtype), spos
             # restore: pos rides the key with eq in the low bit
             key3 = spos * 2 + eq.astype(jnp.int32)
             skey3, rvp = _jit_sort_cols((key3, vp))
             return (skey3 & 1) > 0, psort.from_i32(
-                rvp, build_vals_sorted.dtype)
-    _, eq, val_prev, _ = _merge_rank(bl, vals_i32, plimbs,
-                                     use_pallas=use_pallas)
-    return eq, psort.from_i32(val_prev, build_vals_sorted.dtype)
+                rvp, build_vals_sorted.dtype), None
+    _, eq, val_prev, _, spos = _merge_rank(bl, vals_i32, plimbs,
+                                           use_pallas=use_pallas,
+                                           sorted_output=sorted_output)
+    return eq, psort.from_i32(val_prev, build_vals_sorted.dtype), spos
 
 
 _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
 
 
 def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
-                        use_pallas: bool = True, probe_impl: str = "auto"):
-    """Non-unique-build-key probe: (match_count, first_vals) per probe.
+                        use_pallas: bool = True, probe_impl: str = "auto",
+                        sorted_output: bool = False):
+    """Non-unique-build-key probe: (match_count, first_vals, spos|None).
 
     Upper bound (#build <= key) from one pass; lower bound (#build < key)
     = #build <= key-1 in integer limb space from a second pass on key-1
     (key == limb minimum short-circuits to 0). The first match value sits
     at the lower bound — the second pass's val_next. Both passes ride the
     band kernels when applicable (key-1 preserves sorted order, so the
-    banded path reuses one probe sort and restores once).
+    banded path reuses one probe sort and restores once — or not at all
+    with sorted_output, which returns the probe-row map spos instead).
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
@@ -333,7 +352,8 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
         lb = jnp.where(is_min, 0, lb)
         val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
         count = ub - lb
-        return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype)
+        return (count, psort.from_i32(val_at_lb, build_vals_sorted.dtype),
+                None)
     if strat == "banded":
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
@@ -349,20 +369,28 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
             lb = jnp.where(is_min, 0, lb)
             val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
             count = ub - lb
+            if sorted_output:  # skip the restore sort entirely
+                return count, psort.from_i32(
+                    val_at_lb, build_vals_sorted.dtype), spos
             # restore: (pos, count, first_val) in one 3-column sort
             rpos, rcount, rval = _jit_sort_cols((spos, count, val_at_lb))
             return rcount, psort.from_i32(rval,
-                                          build_vals_sorted.dtype)
-    ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
+                                          build_vals_sorted.dtype), None
+    # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
+    # by key-1, and those orders can interleave differently where min and
+    # min+1 keys coexist (key-1 ties them) — so sorted_output cannot skip
+    # the restores here; compute in original order (spos None = identity).
+    ub, _, _, _, _ = _merge_rank(bl, vals_i32, plimbs,
+                                 use_pallas=use_pallas)
     pm1, is_min = _jit_limbs_minus_one(plimbs)
-    lb, _, _, val_at_lb = _merge_rank(bl, vals_i32, pm1,
-                                      use_pallas=use_pallas)
+    lb, _, _, val_at_lb, _ = _merge_rank(bl, vals_i32, pm1,
+                                         use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)
     # minimum-key probes: lb pass ran on the unchanged key, so its
     # val_next points past the match run — the first match is slot 0
     val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
     count = ub - lb
-    return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype)
+    return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype), None
 
 
 @functools.lru_cache(maxsize=None)
@@ -376,7 +404,7 @@ def _default_build_sorter(dtype, use_pallas: bool):
 def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
               sorter=None, use_pallas: bool = True,
               unique_build: bool = True, join_type: str = "inner",
-              probe_impl: str = "auto"):
+              probe_impl: str = "auto", sorted_output: bool = False):
     """Equi-join probe of the fact side against the build side.
 
     Args:
@@ -394,6 +422,14 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         band probe otherwise, merge fallback on band overflow) |
         "direct" | "banded" | "merge". "direct"/"banded" require the
         Pallas path (use_pallas=True and 4-byte build values).
+      sorted_output: return a THIRD element `probe_rows` and skip every
+        restore sort — output rows come back in whatever order the probe
+        strategy produced (probe-key-sorted on the banded/merge Pallas
+        paths, original elsewhere) and probe_rows[i] is the original
+        probe row of output row i. The banded 16Mx1M pipeline spends
+        about a third of its time restoring original order; consumers
+        that re-sort anyway (aggregates) or carry several probe columns
+        (gather them through probe_rows once) should pass True.
 
     NOT wrappable in jax.jit when the banded strategy is in play: the
     band-overflow fallback reads `bool(ovf)` on a device array (a host
@@ -409,6 +445,9 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         static shape; bound it with match_count).
       semi: bool mask of probes with >= 1 match.
       anti: bool mask of probes with no match.
+      With sorted_output=True every form gains a trailing `probe_rows`
+      array (the original probe row per output row) and rows arrive in
+      strategy order instead of probe order.
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
@@ -421,22 +460,24 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         build_keys, build_vals = sorter.sort_with_device_data(
             build_keys, build_vals)
     if unique_build:
-        found, vals = _probe_sorted(build_keys, build_vals, probe_keys,
-                                    use_pallas=use_pallas,
-                                    probe_impl=probe_impl)
+        found, vals, spos = _probe_sorted(
+            build_keys, build_vals, probe_keys, use_pallas=use_pallas,
+            probe_impl=probe_impl, sorted_output=sorted_output)
     else:
-        count, vals = _probe_sorted_multi(build_keys, build_vals,
-                                          probe_keys,
-                                          use_pallas=use_pallas,
-                                          probe_impl=probe_impl)
+        count, vals, spos = _probe_sorted_multi(
+            build_keys, build_vals, probe_keys, use_pallas=use_pallas,
+            probe_impl=probe_impl, sorted_output=sorted_output)
         found = count > 0
+    if sorted_output and spos is None:  # strategy kept original order
+        spos = jnp.arange(probe_keys.shape[0], dtype=jnp.int32)
     if join_type == "semi":
-        return found
+        return (found, spos) if sorted_output else found
     if join_type == "anti":
-        return jnp.logical_not(found)
+        na = jnp.logical_not(found)
+        return (na, spos) if sorted_output else na
     if unique_build:
-        return found, vals
-    return count, vals
+        return (found, vals, spos) if sorted_output else (found, vals)
+    return (count, vals, spos) if sorted_output else (count, vals)
 
 
 def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
@@ -461,9 +502,10 @@ def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
             lb = res[1][0]
             _, is_min = _jit_limbs_minus_one(tuple(sp_limbs))
             return spos, ub, jnp.where(is_min, 0, lb)
-    ub, _, _, _ = _merge_rank(bl, vals_i32, plimbs, use_pallas=use_pallas)
+    ub, _, _, _, _ = _merge_rank(bl, vals_i32, plimbs,
+                                 use_pallas=use_pallas)
     pm1, is_min = _jit_limbs_minus_one(plimbs)
-    lb, _, _, _ = _merge_rank(bl, vals_i32, pm1, use_pallas=use_pallas)
+    lb, _, _, _, _ = _merge_rank(bl, vals_i32, pm1, use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)
     pos = jnp.arange(m, dtype=jnp.int32)
     cols = (*plimbs, pos, ub, lb)

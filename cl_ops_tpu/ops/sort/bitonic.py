@@ -124,6 +124,11 @@ def _make_bitonic_sorter(fused: bool):
         n_limbs = keymod.num_limbs(spec.key_dtype)
         jit_cache: dict = {}
 
+        # option "single_launch=0|1" forces the whole-VMEM one-kernel sort
+        # off/on; absent = auto (small fused problems take it)
+        sl = options.get("single_launch")
+        single_launch = None if sl is None else sl == "1"
+
         def build(br, mr):
             def fn(limbs, payload):
                 arrs = list(limbs) + ([payload] if payload is not None
@@ -131,7 +136,8 @@ def _make_bitonic_sorter(fused: bool):
                 n = arrs[0].shape[0]
                 arrs2d, _ = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
                 out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
-                                         merge_rows=mr, interpret=interpret)
+                                         merge_rows=mr, interpret=interpret,
+                                         single_launch=single_launch)
                 flat = [a.reshape(-1)[:n] for a in out]
                 out_limbs = tuple(flat[:len(limbs)])
                 out_payload = (flat[len(limbs)] if payload is not None

@@ -523,6 +523,70 @@ def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
     return tuple(o.reshape(total_rows, LANES) for o in out)
 
 
+def _local_steps_dyn(arrs: tuple, asc_mask, start_j: int):
+    """All steps J = start_j .. 1 under one direction mask, loop-traced.
+
+    The whole-VMEM single-launch sort cannot statically unroll its
+    O(log^2 n) steps (the MLIR blow-up that capped the unrolled block sort
+    at 512 rows, ops/exec/psort.py) — instead TWO fori_loops per stage
+    carry a traced power-of-two distance: row steps (J >= 128) through
+    _cx_rows_dyn (dynamic-roll partner fetch), lane steps through
+    _cx_lanes_dyn (dynamic-gather). Both dynamic helpers are the ones the
+    single-step sbitonic kernels already run compiled on v5e. Loop bounds
+    are pinned i32 (python-int bounds trace an i64 induction variable
+    under x64, which recurses Mosaic's convert lowering).
+    """
+    hi = log2_floor(start_j)
+    if hi >= 7:  # row steps: J = 2^hi .. 2^7
+        def row_body(m, a):
+            jr = jnp.int32(1) << (jnp.int32(hi - 7) - m)  # J / 128
+            return _cx_rows_dyn(a, asc_mask, jr)
+        arrs = jax.lax.fori_loop(jnp.int32(0), jnp.int32(hi - 6), row_body,
+                                 arrs)
+    lane_hi = min(hi, 6)
+
+    def lane_body(m, a):
+        jj = jnp.int32(1) << (jnp.int32(lane_hi) - m)
+        return _cx_lanes_dyn(a, asc_mask, jj)
+
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(lane_hi + 1),
+                             lane_body, arrs)
+
+
+def _vmem_sort_kernel(*refs, n_arrays: int):
+    """Whole-array bitonic sort in ONE launch (grid=()): n <= VMEM.
+
+    The small-n answer to the launch-bound fused schedule (~30 dispatches
+    at 1M cost more than the sort itself): every stage runs loop-traced
+    steps over the full (rows, 128) resident array. Stage direction masks
+    are static per stage (the python stage loop is unrolled — log2(n)
+    stages of two fori_loops keeps the MLIR small). The analog of the
+    reference's private-memory multi-step kernels consuming many steps per
+    launch (`clo_sort_abitonic.in.h:33-106`), taken to the whole problem.
+    """
+    ins, outs = refs[:n_arrays], refs[n_arrays:]
+    arrs = tuple(r[...] for r in ins)
+    shape = arrs[0].shape
+    n = shape[0] * LANES
+    for sk in range(1, log2_floor(n) + 1):
+        k = 1 << sk
+        if k == n:
+            asc = jnp.full(shape, True)
+        else:
+            asc = jnp.logical_not(
+                _flat_bit(shape, k // LANES if k >= LANES else k,
+                          k >= LANES))
+        arrs = _local_steps_dyn(arrs, asc, k // 2)
+    for o, a in zip(outs, arrs):
+        o[...] = a
+
+
+# rows * n_arrays bound for the auto single-launch path: 16384 rows of
+# (128, i32) per array = 8 MiB in + 8 MiB out + loop temporaries, well
+# inside the 100 MiB scoped VMEM limit.
+SINGLE_LAUNCH_MAX_ROWS = 16384
+
+
 def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
                         multi_block: bool, unroll_lanes: bool = True):
     """Fused run of ALL bitonic stages K = start_k .. block size.
@@ -559,13 +623,17 @@ def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
 
 
 def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
-                    interpret: bool, merge_rows: int | None = None):
+                    interpret: bool, merge_rows: int | None = None,
+                    single_launch: bool | None = None):
     """Sort po2-length flattened (rows,128) limb arrays ascending.
 
     Returns reordered arrays (same shapes). arrs2d rows must be a multiple
     of block_rows and total length po2. In fused mode, merge_rows (>=
     block_rows) sets a second, larger block tier used for merge stages —
-    fewer, fatter launches.
+    fewer, fatter launches. single_launch forces (True) or suppresses
+    (False) the whole-VMEM one-kernel sort; None auto-enables it when the
+    fused schedule would be multi-launch but the whole problem fits
+    SINGLE_LAUNCH_MAX_ROWS (the launch-bound small-n regime).
     """
     total_rows = arrs2d[0].shape[0]
     n = total_rows * LANES
@@ -574,6 +642,13 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
     assert is_po2(n) and is_po2(block_elems) and n % block_elems == 0
 
     if fused:
+        if single_launch is None:
+            single_launch = (total_rows > block_rows and
+                             total_rows * len(arrs2d)
+                             <= SINGLE_LAUNCH_MAX_ROWS)
+        if single_launch:
+            return _call_per_block(_vmem_sort_kernel, arrs2d, 1, total_rows,
+                                   interpret)
         arrs2d = _call_per_block(_block_sort_kernel, arrs2d, n_blocks,
                                  block_rows, interpret,
                                  multi_block=n_blocks > 1,
@@ -637,6 +712,9 @@ def fused_traffic_bytes(n_padded: int, n_arrays: int, block_rows: int,
     """
     per = n_padded * 4 * n_arrays
     total_rows = n_padded // LANES
+    if (total_rows > block_rows
+            and total_rows * n_arrays <= SINGLE_LAUNCH_MAX_ROWS):
+        return 2 * per  # auto single-launch whole-VMEM sort: one sweep
     n = n_padded
     b = 2 * per  # block sort
     mr = min(merge_rows or block_rows, total_rows)

@@ -633,3 +633,66 @@ def test_hash_join_expand_dup_probe_window_dip():
     assert total == len(exp_vals) == capacity
     np.testing.assert_array_equal(np.asarray(vals)[:total], exp_vals)
     np.testing.assert_array_equal(np.asarray(pidx)[:total], exp_pidx)
+
+
+@pytest.mark.parametrize("unique_build", [True, False])
+def test_hash_join_sorted_output(unique_build):
+    """sorted_output skips the restore sorts: scattering the outputs back
+    through probe_rows must reproduce the default-path results, on both
+    the banded (large build) and merge strategies."""
+    rng = np.random.RandomState(60)
+    nb = 1 << 15  # > DIRECT_MAX: exercises the banded strategy
+    if unique_build:
+        bk = np.arange(nb, dtype=np.uint32) * 3
+    else:
+        bk = np.sort(rng.randint(0, nb, size=nb).astype(np.uint32))
+    bv = (np.arange(nb, dtype=np.int32) + 7)
+    pk = rng.randint(0, 3 * nb, size=1 << 12).astype(np.uint32)
+    m = len(pk)
+    for impl in ("banded", "merge"):
+        ref = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv),
+                           jnp.asarray(pk), build_sorted=True,
+                           unique_build=unique_build, probe_impl=impl,
+                           use_pallas=True)
+        out = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv),
+                           jnp.asarray(pk), build_sorted=True,
+                           unique_build=unique_build, probe_impl=impl,
+                           use_pallas=True, sorted_output=True)
+        f0, v0 = np.asarray(ref[0]), np.asarray(ref[1])
+        fs, vs, pr = (np.asarray(out[0]), np.asarray(out[1]),
+                      np.asarray(out[2]))
+        assert sorted(pr) == list(range(m)), impl
+        f1 = np.empty_like(f0)
+        v1 = np.empty_like(v0)
+        f1[pr] = fs
+        v1[pr] = vs
+        np.testing.assert_array_equal(f1, f0, err_msg=impl)
+        hit = f0 > 0 if unique_build else f0 > 0
+        np.testing.assert_array_equal(v1[hit], v0[hit], err_msg=impl)
+
+
+def test_hash_join_sorted_output_semi_anti_and_direct():
+    rng = np.random.RandomState(61)
+    nb = 1 << 10  # small build: direct strategy, original order + iota
+    bk = np.arange(nb, dtype=np.uint32) * 2
+    bv = np.arange(nb, dtype=np.int32)
+    pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
+    found, vals, pr = ex.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, sorted_output=True)
+    np.testing.assert_array_equal(np.asarray(pr), np.arange(len(pk)))
+    np.testing.assert_array_equal(np.asarray(found), pk % 2 == 0)
+    semi, pr2 = ex.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, sorted_output=True,
+        join_type="semi")
+    s = np.empty(len(pk), bool)
+    s[np.asarray(pr2)] = np.asarray(semi)
+    np.testing.assert_array_equal(s, pk % 2 == 0)
+    anti, pr3 = ex.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, sorted_output=True,
+        join_type="anti")
+    a = np.empty(len(pk), bool)
+    a[np.asarray(pr3)] = np.asarray(anti)
+    np.testing.assert_array_equal(a, pk % 2 == 1)

@@ -15,7 +15,10 @@ from cl_ops_tpu.ops.sort import keys as keymod
 ALL_IMPLS = sort_mod.sort_names()
 SMALL_OPTS = {
     "sbitonic": "block_rows=8",
-    "abitonic": "block_rows=8",
+    # single_launch=0 keeps the multi-launch fused schedule covered at test
+    # sizes (the auto rule routes everything under 2M elems to the
+    # whole-VMEM single-launch kernel, which has its own tests below)
+    "abitonic": "block_rows=8,single_launch=0",
     "satradix": "block_rows=8,scatter=xla",
     "gselect": "chunk=512",
     "xla": None,
@@ -226,3 +229,31 @@ def test_satradix_bitonic_scatter():
     v = np.arange(700, dtype=np.int32)
     sk, sv = s.sort_with_host_data(x, v)
     np.testing.assert_array_equal(x[sv], sk)
+
+
+@pytest.mark.parametrize("dt", ["uint", "int", "ulong", "float"])
+def test_abitonic_single_launch(dt):
+    """The whole-VMEM one-kernel sort (launch-bound small-n path)."""
+    from cl_ops_tpu.core.dtypes import canonicalize
+    x = _rand(canonicalize(dt), 5000, 11)
+    s = sort_mod.sort_new("abitonic", "single_launch=1", elem_dtype=dt)
+    out = s.sort_with_host_data(x)
+    np.testing.assert_array_equal(out, np.sort(x))
+
+
+def test_abitonic_single_launch_kv():
+    x = _rand(np.uint32, 4096, 12)
+    vals = np.arange(4096, dtype=np.int32)
+    s = sort_mod.sort_new("abitonic", "single_launch=1")
+    out, vout = s.sort_with_host_data(x, vals)
+    np.testing.assert_array_equal(out, np.sort(x))
+    np.testing.assert_array_equal(x[vout], out)
+
+
+def test_abitonic_single_launch_auto_matches_forced():
+    """The auto rule (small fused problems) and the forced option agree."""
+    x = _rand(np.uint32, 3 * 1024, 13)
+    auto = sort_mod.sort_new("abitonic", "block_rows=8")
+    forced = sort_mod.sort_new("abitonic", "block_rows=8,single_launch=1")
+    np.testing.assert_array_equal(auto.sort_with_host_data(x),
+                                  forced.sort_with_host_data(x))
