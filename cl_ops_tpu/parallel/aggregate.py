@@ -16,9 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import DATA_AXIS, put_sharded
 from cl_ops_tpu.parallel.splitters import keyed_exchange_replan
 from cl_ops_tpu.utils.bits import is_po2
 
@@ -96,5 +96,4 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    return fn(*(jax.device_put(a, sharding) for a in (counts, k, v)))
+    return fn(*(put_sharded(a, mesh, axis) for a in (counts, k, v)))

@@ -19,9 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import DATA_AXIS, iota_sharded, put_sharded
 from cl_ops_tpu.parallel.splitters import (hash_partition_ids,
                                            keyed_exchange_replan)
 from cl_ops_tpu.utils.bits import is_po2
@@ -97,7 +97,7 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
 
     # 1+2. shuffle both sides by the same key partition, carrying build
     # values / global probe row ids; re-plan adaptively on overflow.
-    gidx = jnp.arange(n_probe, dtype=jnp.int32)
+    gidx = iota_sharded(n_probe, mesh, axis)
     (bres, pres), (cb, cp) = keyed_exchange_replan(
         [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
         capacities=(capacity_build, capacity_probe), axis=axis,
@@ -215,8 +215,7 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis)), check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    cnt, vals = fn(*(jax.device_put(a, sharding)
+    cnt, vals = fn(*(put_sharded(a, mesh, axis)
                      for a in (bcounts, bk, bv, pcounts, pk, pg)))
     if join_type == "semi":
         return cnt > 0

@@ -31,3 +31,48 @@ def row_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_sharded(a, mesh: Mesh, axis: str = DATA_AXIS):
+    """device_put onto the row sharding, passing through arrays already
+    laid out that way.
+
+    The passthrough is what makes the distributed operators multi-process
+    (DCN) capable: a global jax.Array spanning several processes cannot be
+    re-device_put from one process's host data, but arrays built with
+    jax.make_array_from_process_local_data (parallel/multiproc.py) already
+    carry the right sharding and flow straight through.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    if isinstance(a, jax.Array) and not isinstance(a, jax.core.Tracer):
+        try:
+            if a.sharding.is_equivalent_to(sharding, a.ndim):
+                return a
+        except (AttributeError, ValueError):
+            pass
+    return jax.device_put(a, sharding)
+
+
+def iota_sharded(n: int, mesh: Mesh, axis: str = DATA_AXIS,
+                 dtype=np.int32):
+    """arange(n) materialized directly in the row sharding.
+
+    jnp.arange would land process-local; producing it from a no-input jit
+    with out_shardings works identically in single- and multi-process
+    meshes (every process runs the same program).
+    """
+    import jax.numpy as jnp
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.jit(lambda: jnp.arange(n, dtype=dtype),
+                   out_shardings=sharding)()
+
+
+def replicated_sum_int(x, mesh: Mesh) -> int:
+    """Host int of sum(x) — safe for multi-process global arrays.
+
+    jax.device_get on a non-fully-addressable array raises; summing to a
+    REPLICATED scalar gives every process an addressable copy to read.
+    """
+    import jax.numpy as jnp
+    tot = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    return int(np.asarray(tot.addressable_shards[0].data))

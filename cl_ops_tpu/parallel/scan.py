@@ -16,9 +16,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import DATA_AXIS, put_sharded
 
 
 def _local_inclusive(x, sum_dtype, use_pallas: bool):
@@ -66,7 +66,7 @@ def dist_scan(x, mesh: Mesh, *, sum_dtype, exclusive: bool = True,
     # varying-mesh-axes metadata.
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
-    return fn(jax.device_put(x, NamedSharding(mesh, P(axis))))
+    return fn(put_sharded(x, mesh, axis))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "sum_dtype", "exclusive",

@@ -26,9 +26,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import DATA_AXIS, put_sharded
 
 
 def partition_exchange(data, part_id, mesh: Mesh, *, capacity: int,
@@ -92,8 +92,7 @@ def partition_exchange(data, part_id, mesh: Mesh, *, capacity: int,
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis), *([P(axis)] * (1 + len(extra_cols)))),
                    check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    args = [jax.device_put(part_id.astype(jnp.int32), sharding),
-            jax.device_put(data, sharding)]
-    args += [jax.device_put(c, sharding) for c in extra_cols]
+    args = [put_sharded(part_id.astype(jnp.int32), mesh, axis),
+            put_sharded(data, mesh, axis)]
+    args += [put_sharded(c, mesh, axis) for c in extra_cols]
     return fn(*args)

@@ -23,11 +23,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cl_ops_tpu.ops.sort import keys as keymod
 from cl_ops_tpu.ops.sort.bitonic_kernels import _lex_lt
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import DATA_AXIS, iota_sharded, put_sharded
 from cl_ops_tpu.utils.bits import is_po2, log2_floor
 
 
@@ -106,7 +106,9 @@ def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
     n_limbs = len(limbs)
     needs_payload = values is not None or n_limbs > 1
     if needs_payload:
-        payload = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        # iota_sharded, not a host-local iota: multi-process global inputs
+        # can only combine with arrays materialized in the same sharding
+        payload = iota_sharded(n, mesh, axis)
         arrs = tuple(limbs) + (payload,)
     else:
         arrs = tuple(limbs)
@@ -142,8 +144,7 @@ def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    out = fn(*(jax.device_put(a, sharding) for a in arrs))
+    out = fn(*(put_sharded(a, mesh, axis) for a in arrs))
 
     out_limbs = list(out[:n_limbs])
     if not ascending:

@@ -17,9 +17,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from cl_ops_tpu.parallel.mesh import DATA_AXIS
+from cl_ops_tpu.parallel.mesh import (DATA_AXIS, put_sharded,
+                                      replicated_sum_int)
 from cl_ops_tpu.parallel.shuffle import partition_exchange
 
 
@@ -90,7 +91,7 @@ def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
             counts, dropped, *outs = partition_exchange(
                 k, pid, mesh, capacity=cap, axis=axis, extra_cols=cols)
             results.append((counts, *outs))
-            drops.append(int(np.asarray(jax.device_get(dropped)).sum()))
+            drops.append(replicated_sum_int(dropped, mesh))
         if not any(drops):
             return results, tuple(caps)
         if attempt >= max_replan:
@@ -129,7 +130,7 @@ def plan_splitters(keys, mesh: Mesh, *, samples_per_chip: int = 256,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(),
                    check_vma=False)
-    return fn(jax.device_put(keys, NamedSharding(mesh, P(axis))))
+    return fn(put_sharded(keys, mesh, axis))
 
 
 def range_partition_exchange(data, splitters, mesh: Mesh, *, capacity: int,
@@ -179,7 +180,7 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
             x, splitters, mesh, capacity=capacity, axis=axis)
         if attempt >= max_resample:
             break
-        if int(np.asarray(jax.device_get(dropped)).sum()) == 0:
+        if replicated_sum_int(dropped, mesh) == 0:
             break
         samples_per_chip *= 4  # adaptive re-sample on overflow
         attempt += 1
@@ -199,7 +200,6 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis)), check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    sorted_buf, totals = fn(jax.device_put(counts, sharding),
-                            jax.device_put(buf, sharding))
+    sorted_buf, totals = fn(put_sharded(counts, mesh, axis),
+                            put_sharded(buf, mesh, axis))
     return totals, sorted_buf, dropped
