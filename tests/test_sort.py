@@ -257,3 +257,31 @@ def test_abitonic_single_launch_auto_matches_forced():
     forced = sort_mod.sort_new("abitonic", "block_rows=8,single_launch=1")
     np.testing.assert_array_equal(auto.sort_with_host_data(x),
                                   forced.sort_with_host_data(x))
+
+
+def test_dma_scatter_chunk_copy():
+    """Blocked-write run copy (SURVEY §7 binned-DMA scatter half): runs
+    land at quantized destinations, tails and slack become sentinels."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.ops.sort import dma_scatter as ds
+    rng = np.random.RandomState(70)
+    n = 32 * ds.CHUNK
+    x = rng.randint(0, 1 << 30, size=n).astype(np.int32)
+    cuts = np.sort(rng.choice(np.arange(1, n), size=21, replace=False))
+    starts = np.concatenate([[0], cuts]).astype(np.int32)
+    lengths = (np.concatenate([cuts, [n]]) - starts).astype(np.int32)
+    qlen = ((lengths + ds.CHUNK - 1) // ds.CHUNK) * ds.CHUNK
+    qstarts = (np.cumsum(qlen) - qlen).astype(np.int32)
+    n_chunks = n // ds.CHUNK + len(lengths)
+    params = ds.plan_run_chunks(jnp.asarray(starts), jnp.asarray(qstarts),
+                                jnp.asarray(lengths),
+                                n_chunks_static=n_chunks)
+    (out,) = ds.chunk_copy((jnp.asarray(x).reshape(-1, 128),), params,
+                           n_chunks=n_chunks, interpret=True)
+    out = np.asarray(out).reshape(-1)
+    for s, q, l in zip(starts, qstarts, lengths):
+        np.testing.assert_array_equal(out[q:q + l], x[s:s + l])
+        qtop = q + ((l + ds.CHUNK - 1) // ds.CHUNK) * ds.CHUNK
+        np.testing.assert_array_equal(out[q + l:qtop], ds._SENT)
+    np.testing.assert_array_equal(out[int(qstarts[-1] + qlen[-1]):],
+                                  ds._SENT)
