@@ -553,8 +553,17 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     pass 2 passes EXACT per-block query min/max (one cheap XLA block
     reduction over bpos) as explicit block_bounds — without them a dip
     below a window-block boundary silently returned the window-start
-    value. Any band overflow (match ranges too sparse for the window)
-    returns None -> XLA fallback.
+    value.
+
+    SPARSE ranges (few matches per spanned probe) make one output
+    block's bpos span more build rows than the 16K-element band window —
+    pass 2 then falls back to a plain XLA gather of svals at bpos
+    (pass 1's segment search is kept; only the value pull changes). The
+    old whole-function fallback redid the segment search with
+    jnp.searchsorted — ~24 rounds of random gathers per output, 49 s at
+    64M rows vs one round for the direct gather. Pass-1 overflow (the
+    prefix window itself exceeded — only under extreme alignment skew)
+    still returns None -> full XLA fallback.
     """
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
@@ -563,7 +572,7 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     # 128-row probe blocks: 16K outputs per grid step <= the 16K-element
     # band window, so expansions with >= 1 match per spanned probe never
     # overflow (512-row blocks tripped the window exactly at 4 matches/
-    # probe and fell into the XLA searchsorted path — 49 s at 64M rows).
+    # probe).
     pr = 128
     prefix_inc, rq = _expand_pass1_queries(ub, lb, capacity)
     j, _, vps, vns, ovf1 = bandprobe.probe_banded_sorted(
@@ -577,9 +586,14 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     _, _, valsr, _, ovf2 = bandprobe.probe_banded_sorted(
         (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
         interpret=interp, probe_rows=pr, block_bounds=((blo,), (bhi,)))
-    if bool(ovf2):
-        return None
+    if bool(ovf2):  # sparse: direct gather instead of the band windows
+        valsr = _jit_gather(svals_i32, bpos)
     return _expand_glue(sposj, valsr, prefix_inc, capacity)
+
+
+@jax.jit
+def _jit_gather(vals, idx):
+    return jnp.take(vals, idx)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))

@@ -696,3 +696,38 @@ def test_hash_join_sorted_output_semi_anti_and_direct():
     a = np.empty(len(pk), bool)
     a[np.asarray(pr3)] = np.asarray(anti)
     np.testing.assert_array_equal(a, pk % 2 == 1)
+
+
+def test_hash_join_expand_sparse_gather_fallback():
+    """Sparse match ranges: one 16K-output block spans more build rows
+    than the band window. Pass 2 must fall back to the direct XLA gather
+    (keeping pass 1's band segment search) — NOT the full searchsorted
+    path (r2 weak item: 49 s at 64M)."""
+    from cl_ops_tpu.ops.exec import join as join_mod
+    nb = 1 << 16
+    bk = np.arange(nb, dtype=np.uint32) * 2      # sorted, unique
+    bv = np.arange(nb, dtype=np.int32) + 1000
+    # every probe matches exactly one build row, matches striding the
+    # whole build: output block spans ~4x the 16K window -> ovf2
+    pk = (np.arange(1 << 14, dtype=np.uint32) * 8)  # = bk[::4]
+    capacity = 1 << 14
+    orig_fallback = join_mod._expand_from_ranges
+    orig_gather = join_mod._jit_gather
+    calls, gathers = [], []
+    join_mod._expand_from_ranges = (
+        lambda *a, **k: (calls.append(1), orig_fallback(*a, **k))[1])
+    join_mod._jit_gather = (
+        lambda *a: (gathers.append(1), orig_gather(*a))[1])
+    try:
+        total, pidx, vals = ex.hash_join_expand(
+            jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+            capacity=capacity, build_sorted=True, use_pallas=True)
+    finally:
+        join_mod._expand_from_ranges = orig_fallback
+        join_mod._jit_gather = orig_gather
+    assert not calls, "sparse case fell into the full XLA fallback"
+    assert gathers, "band window did not overflow: case is not sparse"
+    assert int(total) == len(pk)
+    np.testing.assert_array_equal(np.asarray(pidx), np.arange(len(pk)))
+    np.testing.assert_array_equal(np.asarray(vals),
+                                  (pk // 2 + 1000).astype(np.int32))
