@@ -28,14 +28,22 @@ import jax.numpy as jnp
 
 from cl_ops_tpu.ops.exec import psort
 
+# flag*n + pos stays exact while 2n < _PACK_MAX; beyond it the rank uses
+# two columns. Module-level so tests can shrink it to cover the wide path.
+_PACK_MAX = 2 ** 31
+
 
 @functools.partial(jax.jit, static_argnames=("predicate", "use_pallas"))
 def filter_compact(data, predicate: Callable, *extra_cols,
                    use_pallas: bool = True):
     """Keep rows where predicate(data) holds, compacted to the front.
 
-    use_pallas selects the Pallas bitonic compaction (default); rows fall
-    back to `jax.lax.sort` when columns are not 4-byte or n >= 2^30.
+    use_pallas selects the Pallas bitonic compaction (default) for any
+    column widths and any n < 2^31: the stable-partition rank is the
+    packed `(!keep)*n + pos` key when it fits i32 (2n < 2^31) and the
+    two-column `(!keep, pos)` rank beyond (one extra column of traffic —
+    the "two-limb rank" form); wide/narrow payload columns ride as i32
+    limb encodings (psort.cols_to_i32).
 
     Args:
       data: 1-D array the predicate reads.
@@ -51,10 +59,15 @@ def filter_compact(data, predicate: Callable, *extra_cols,
     keep_i32 = mask.astype(jnp.int32)
     count = jnp.sum(keep_i32)
     cols = (data, *extra_cols)
-    if use_pallas and 2 * n < 2 ** 31 and psort.cols_sortable(*cols):
-        key = psort.flag_pos_key(jnp.int32(1) - keep_i32, n)
-        out = psort.sort_i32_cols((key, *cols))
-        return (count, *out[1:])
+    if use_pallas and n < 2 ** 31:
+        enc, spec = psort.cols_to_i32(cols)
+        if 2 * n < _PACK_MAX:
+            keys = (psort.flag_pos_key(jnp.int32(1) - keep_i32, n),)
+        else:  # two-limb rank: (flag, position) lexicographic
+            keys = (jnp.int32(1) - keep_i32,
+                    jax.lax.broadcasted_iota(jnp.int32, (n,), 0))
+        out = psort.sort_i32_cols((*keys, *enc))
+        return (count, *psort.cols_from_i32(out[len(keys):], spec))
     dropped_key = jnp.logical_not(mask).astype(jnp.int32)
     out = jax.lax.sort([dropped_key, data, *extra_cols], num_keys=1,
                        is_stable=True)

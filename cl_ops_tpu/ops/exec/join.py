@@ -28,6 +28,9 @@ from cl_ops_tpu.ops.sort import keys as keymod
 
 _I32_MIN = -0x80000000
 _I32_MAX = 0x7FFFFFFF
+# packed pos*2+eq restore keys stay exact while 2m < _PACK_MAX; beyond it
+# restores use an extra column. Module-level so tests can shrink it.
+_PACK_MAX = 2 ** 31
 
 
 @jax.jit
@@ -122,6 +125,14 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
     nb = build_limbs[0].shape[0]
     m = probe_limbs[0].shape[0]
     nt = nb + m
+    if use_pallas:
+        from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+        from cl_ops_tpu.utils.bits import nlpo2
+        p2 = max(nlpo2(nt), bk.MIN_ROWS * bk.LANES)
+        if 2 * p2 >= _PACK_MAX:
+            # _merge_stage's flag-pos compaction key would wrap i32 at
+            # this padded size; the XLA form stays exact
+            use_pallas = False
     if use_pallas:
         # Merge-structured probe (r2): instead of fully sorting the padded
         # build++probe concatenation (pow-2 padding nearly doubles 17M ->
@@ -308,10 +319,17 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
             if sorted_output:  # skip the restore sort entirely
                 return eq, psort.from_i32(
                     vp, build_vals_sorted.dtype), spos
-            # restore: pos rides the key with eq in the low bit
-            key3 = spos * 2 + eq.astype(jnp.int32)
-            skey3, rvp = _jit_sort_cols((key3, vp))
-            return (skey3 & 1) > 0, psort.from_i32(
+            m = spos.shape[0]
+            if 2 * m < _PACK_MAX:
+                # restore: pos rides the key with eq in the low bit
+                key3 = spos * 2 + eq.astype(jnp.int32)
+                skey3, rvp = _jit_sort_cols((key3, vp))
+                return (skey3 & 1) > 0, psort.from_i32(
+                    rvp, build_vals_sorted.dtype), None
+            # two-limb rank restore (n up to 2^31): spos is unique, so
+            # eq rides as an inert column instead of packing into the key
+            _, req, rvp = _jit_sort_cols((spos, eq.astype(jnp.int32), vp))
+            return req > 0, psort.from_i32(
                 rvp, build_vals_sorted.dtype), None
     _, eq, val_prev, _, spos = _merge_rank(bl, vals_i32, plimbs,
                                            use_pallas=use_pallas,

@@ -54,9 +54,59 @@ def from_i32(c, dtype):
 def flag_pos_key(flag_i32, n: int):
     """`flag * n + position`: one unique i32 key whose ascending sort is a
     STABLE partition — flag-0 rows move to the front in original order.
-    Requires 2n < 2^31 (callers gate on this)."""
+    Requires 2n < 2^31 (callers gate on this and fall back to the
+    two-column (flag, position) rank — see filter_compact)."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     return flag_i32 * jnp.int32(n) + pos
+
+
+def cols_to_i32(cols):
+    """Encode arbitrary-width PAYLOAD columns as i32 columns.
+
+    4-byte columns bitcast 1:1; 8-byte columns split into two i32 limb
+    columns; 1/2-byte columns zero-extend. Returns (encoded tuple, spec)
+    for cols_from_i32. Payload semantics only — the encoded columns do
+    not order like the originals (they ride sorts as inert columns after
+    a unique key).
+    """
+    enc, spec = [], []
+    for c in cols:
+        dt = jnp.dtype(c.dtype)
+        if dt.itemsize == 4:
+            enc.append(as_i32(c))
+        elif dt.itemsize == 8:
+            pair = jax.lax.bitcast_convert_type(c, jnp.int32)  # (n, 2)
+            enc.append(pair[:, 0])
+            enc.append(pair[:, 1])
+        elif dt.itemsize == 2:
+            enc.append(jax.lax.bitcast_convert_type(
+                c, jnp.uint16).astype(jnp.int32))
+        elif dt.itemsize == 1:
+            enc.append(jax.lax.bitcast_convert_type(
+                c, jnp.uint8).astype(jnp.int32))
+        else:
+            raise ValueError(f"unsupported payload dtype {dt}")
+        spec.append(dt)
+    return tuple(enc), tuple(spec)
+
+
+def cols_from_i32(enc, spec):
+    """Inverse of cols_to_i32."""
+    out, i = [], 0
+    for dt in spec:
+        if dt.itemsize == 4:
+            out.append(from_i32(enc[i], dt))
+            i += 1
+        elif dt.itemsize == 8:
+            pair = jnp.stack([enc[i], enc[i + 1]], axis=-1)
+            out.append(jax.lax.bitcast_convert_type(pair, dt))
+            i += 2
+        else:
+            small = jnp.uint16 if dt.itemsize == 2 else jnp.uint8
+            out.append(jax.lax.bitcast_convert_type(
+                enc[i].astype(small), dt))
+            i += 1
+    return tuple(out)
 
 
 def sort_traffic_bytes(n: int, n_cols: int,

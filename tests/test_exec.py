@@ -731,3 +731,67 @@ def test_hash_join_expand_sparse_gather_fallback():
     np.testing.assert_array_equal(np.asarray(pidx), np.arange(len(pk)))
     np.testing.assert_array_equal(np.asarray(vals),
                                   (pk // 2 + 1000).astype(np.int32))
+
+
+def test_filter_compact_wide_columns():
+    """Wide (8-byte) and narrow (2-byte) payload columns ride the Pallas
+    compaction as i32 limb encodings (r2 weak item 5)."""
+    rng = np.random.RandomState(80)
+    n = 4096
+    x = rng.randint(0, 1000, size=n).astype(np.uint32)
+    c64 = rng.randint(0, 1 << 62, size=n, dtype=np.int64).astype(np.uint64)
+    f64 = rng.randn(n)
+    c16 = rng.randint(0, 1 << 16, size=n).astype(np.uint16)
+    pred = lambda d: d < jnp.uint32(300)  # noqa: E731
+    count, px, p64, pf, p16 = ex.filter_compact(
+        jnp.asarray(x), pred, jnp.asarray(c64), jnp.asarray(f64),
+        jnp.asarray(c16), use_pallas=True)
+    k = int(count)
+    keep = x < 300
+    assert k == keep.sum()
+    np.testing.assert_array_equal(np.asarray(px)[:k], x[keep])
+    np.testing.assert_array_equal(np.asarray(p64)[:k], c64[keep])
+    np.testing.assert_array_equal(np.asarray(pf)[:k], f64[keep])
+    np.testing.assert_array_equal(np.asarray(p16)[:k], c16[keep])
+
+
+def test_filter_compact_two_limb_rank():
+    """The 2n >= 2^31 regime (1B-row scale) uses the (flag, pos) rank;
+    exercised by shrinking the pack threshold."""
+    from cl_ops_tpu.ops.exec import filter as filter_mod
+    rng = np.random.RandomState(81)
+    n = 3333
+    x = rng.randint(0, 1000, size=n).astype(np.uint32)
+    pred = lambda d: (d & jnp.uint32(1)) == 0  # noqa: E731
+    orig = filter_mod._PACK_MAX
+    filter_mod._PACK_MAX = 64  # force the two-column rank path
+    try:
+        count, packed = ex.filter_compact(jnp.asarray(x), pred,
+                                          use_pallas=True)
+    finally:
+        filter_mod._PACK_MAX = orig
+    keep = x % 2 == 0
+    assert int(count) == keep.sum()
+    np.testing.assert_array_equal(np.asarray(packed)[:keep.sum()], x[keep])
+
+
+def test_hash_join_wide_m_restore():
+    """Banded restore without key packing (2m >= 2^31 regime)."""
+    from cl_ops_tpu.ops.exec import join as join_mod
+    rng = np.random.RandomState(82)
+    nb = 1 << 15
+    bk = np.arange(nb, dtype=np.uint32) * 3
+    bv = np.arange(nb, dtype=np.int32) + 5
+    pk = rng.randint(0, 3 * nb, size=4096).astype(np.uint32)
+    orig = join_mod._PACK_MAX
+    join_mod._PACK_MAX = 64
+    try:
+        found, vals = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv),
+                                   jnp.asarray(pk), build_sorted=True,
+                                   probe_impl="banded", use_pallas=True)
+    finally:
+        join_mod._PACK_MAX = orig
+    expect = pk % 3 == 0
+    np.testing.assert_array_equal(np.asarray(found), expect)
+    np.testing.assert_array_equal(np.asarray(vals)[expect],
+                                  (pk[expect] // 3 + 5).astype(np.int32))
