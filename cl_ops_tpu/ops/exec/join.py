@@ -46,12 +46,13 @@ def _jit_sort_cols(cols):
 
 
 @jax.jit
-def _merge_stage(build_limbs, build_vals_i32, sp_limbs, sp_merged):
+def _merge_stage(build_limbs, build_vcols, sp_limbs, sp_merged):
     """Merge + rank + gathers: everything between the two probe sorts.
 
     Inputs: sorted probe limb columns + their merged ids (m + src).
     Returns per SORTED probe: (key3 = src*2 + eq, counts, val_prev,
-    val_next) ready for the restore sort.
+    val_next) ready for the restore sort; val_prev/val_next are tuples
+    of gathered value columns (1 for 4-byte values, 2 limbs for 8-byte).
     """
     from cl_ops_tpu.ops.sort import bitonic as _bt
     from cl_ops_tpu.ops.sort import bitonic_kernels as bk
@@ -90,8 +91,8 @@ def _merge_stage(build_limbs, build_vals_i32, sp_limbs, sp_merged):
     probe_src = jnp.take(smerged_f, probe_pos) - jnp.int32(m)
     idx = jnp.clip(counts - 1, 0, nb - 1)
     nxt = jnp.clip(counts, 0, nb - 1)
-    val_prev = jnp.take(build_vals_i32, idx)
-    val_next = jnp.take(build_vals_i32, nxt)
+    val_prev = tuple(jnp.take(v, idx) for v in build_vcols)
+    val_next = tuple(jnp.take(v, nxt) for v in build_vcols)
     eq = counts > 0
     for bl, sl in zip(build_limbs, s_limbs):
         eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
@@ -99,7 +100,7 @@ def _merge_stage(build_limbs, build_vals_i32, sp_limbs, sp_merged):
     return key3, counts, val_prev, val_next
 
 
-def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
+def _merge_rank(build_limbs, build_vcols, probe_limbs,
                 use_pallas: bool = True, sorted_output: bool = False):
     """Counts-and-gathers core of the merge-join probe.
 
@@ -115,9 +116,10 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
       counts_leq — #build keys <= probe key
       eq         — build key at counts_leq-1 == probe (match on the
                    upper-bound side)
-      val_prev   — build_vals[counts_leq-1]  (unique-key match value)
-      val_next   — build_vals[counts_leq]    (first-match value when the
-                   counts counted strictly-less keys)
+      val_prev   — build value columns at counts_leq-1 (tuple; the
+                   unique-key match value)
+      val_next   — build value columns at counts_leq (tuple; first-match
+                   value when the counts counted strictly-less keys)
       spos       — sorted_output only: original probe row per output row
                    (None otherwise)
     """
@@ -144,14 +146,17 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
             jnp.int32, (m,), 0)
         sp = _jit_sort_cols((*probe_limbs, merged_p))
         key3, counts, val_prev, val_next = _merge_stage(
-            tuple(build_limbs), build_vals_i32, tuple(sp[:nl]), sp[nl])
+            tuple(build_limbs), tuple(build_vcols), tuple(sp[:nl]), sp[nl])
         if sorted_output:  # key3 = spos*2 + eq — no restore sort needed
             return (counts, (key3 & 1) > 0, val_prev, val_next,
                     jax.lax.shift_right_logical(key3, jnp.int32(1)))
-        skey3, rc, rvp, rvn = _jit_sort_cols(
-            (key3, counts, val_prev, val_next))
-        return rc, (skey3 & 1) > 0, rvp, rvn, None
-    rc, eq, rvp, rvn = _merge_rank_xla(tuple(build_limbs), build_vals_i32,
+        nv = len(val_prev)
+        out = _jit_sort_cols((key3, counts, *val_prev, *val_next))
+        skey3, rc = out[0], out[1]
+        return (rc, (skey3 & 1) > 0, tuple(out[2:2 + nv]),
+                tuple(out[2 + nv:]), None)
+    rc, eq, rvp, rvn = _merge_rank_xla(tuple(build_limbs),
+                                       tuple(build_vcols),
                                        tuple(probe_limbs))
     if sorted_output:
         return rc, eq, rvp, rvn, jnp.arange(m, dtype=jnp.int32)
@@ -159,7 +164,7 @@ def _merge_rank(build_limbs, build_vals_i32, probe_limbs,
 
 
 @jax.jit
-def _merge_rank_xla(build_limbs, build_vals_i32, probe_limbs):
+def _merge_rank_xla(build_limbs, build_vcols, probe_limbs):
     """lax.sort fallback: one merged sort of the concatenation with dims
     tagged before equal probes, probe rows compacted to the front."""
     nl = len(build_limbs)
@@ -184,16 +189,17 @@ def _merge_rank_xla(build_limbs, build_vals_i32, probe_limbs):
     counts = probe_pos - rank              # build keys <= probe key
     idx = jnp.clip(counts - 1, 0, nb - 1)
     nxt = jnp.clip(counts, 0, nb - 1)
-    val_prev = jnp.take(build_vals_i32, idx)   # monotone gathers
-    val_next = jnp.take(build_vals_i32, nxt)
+    val_prev = tuple(jnp.take(v, idx) for v in build_vcols)
+    val_next = tuple(jnp.take(v, nxt) for v in build_vcols)
     eq = counts > 0
     for bl, sl in zip(build_limbs, s_limbs):
         eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
     # back to original probe order; eq rides the low bit of the key
     key3 = probe_src * 2 + eq.astype(jnp.int32)
-    skey3, rc, rvp, rvn = jax.lax.sort(
-        [key3, counts, val_prev, val_next], num_keys=1)
-    return rc, (skey3 & 1) > 0, rvp, rvn
+    nv = len(val_prev)
+    out = jax.lax.sort([key3, counts, *val_prev, *val_next], num_keys=1)
+    return (out[1], (out[0] & 1) > 0, tuple(out[2:2 + nv]),
+            tuple(out[2 + nv:]))
 
 
 def _limbs_minus_one(limbs):
@@ -219,6 +225,28 @@ def _jit_limbs(a):
 @jax.jit
 def _jit_i32(a):
     return psort.as_i32(a)
+
+
+@jax.jit
+def _jit_val_cols(build_vals):
+    """Value column(s) as i32: one column for 4-byte dtypes, two limb
+    columns for 8-byte ones — the band/sort kernels move i32 lanes only,
+    so wide values ride as an extra inert column instead of demoting the
+    whole join off the Pallas path (which silently truncated them to the
+    low limb before r3)."""
+    dt = jnp.dtype(build_vals.dtype)
+    if dt.itemsize == 4:
+        return (psort.as_i32(build_vals),)
+    pair = jax.lax.bitcast_convert_type(build_vals, jnp.int32)
+    return (pair[:, 0], pair[:, 1])
+
+
+def _val_from_cols(cols, dtype):
+    """Inverse of _jit_val_cols for gathered value columns."""
+    dt = jnp.dtype(dtype)
+    if dt.itemsize == 4:
+        return psort.from_i32(cols[0], dt)
+    return jax.lax.bitcast_convert_type(jnp.stack(tuple(cols), axis=-1), dt)
 
 
 def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
@@ -302,39 +330,38 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
-    vals_i32 = _jit_i32(build_vals_sorted)
+    vcols = _jit_val_cols(build_vals_sorted)
+    vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
                             probe_impl)
     if strat == "direct":
         from cl_ops_tpu.ops.exec import bandprobe
         from cl_ops_tpu.utils.platform import pallas_interpret
-        _, eq, val_prev, _ = bandprobe.probe_direct(
-            bl, vals_i32, plimbs, interpret=pallas_interpret())
-        return eq, psort.from_i32(val_prev, build_vals_sorted.dtype), None
+        _, eq, vps, _ = bandprobe.probe_direct(
+            bl, vcols, plimbs, interpret=pallas_interpret())
+        return eq, _val_from_cols(vps, vdt), None
     if strat == "banded":
-        spos, _, res = _banded_passes(bl, vals_i32, plimbs,
+        spos, _, res = _banded_passes(bl, vcols, plimbs,
                                       [lambda s: s])
         if res is not None:
             _, eq, vp, _ = res[0]
             if sorted_output:  # skip the restore sort entirely
-                return eq, psort.from_i32(
-                    vp, build_vals_sorted.dtype), spos
+                return eq, _val_from_cols(vp, vdt), spos
             m = spos.shape[0]
             if 2 * m < _PACK_MAX:
                 # restore: pos rides the key with eq in the low bit
                 key3 = spos * 2 + eq.astype(jnp.int32)
-                skey3, rvp = _jit_sort_cols((key3, vp))
-                return (skey3 & 1) > 0, psort.from_i32(
-                    rvp, build_vals_sorted.dtype), None
+                out = _jit_sort_cols((key3, *vp))
+                return ((out[0] & 1) > 0,
+                        _val_from_cols(out[1:], vdt), None)
             # two-limb rank restore (n up to 2^31): spos is unique, so
             # eq rides as an inert column instead of packing into the key
-            _, req, rvp = _jit_sort_cols((spos, eq.astype(jnp.int32), vp))
-            return req > 0, psort.from_i32(
-                rvp, build_vals_sorted.dtype), None
-    _, eq, val_prev, _, spos = _merge_rank(bl, vals_i32, plimbs,
+            out = _jit_sort_cols((spos, eq.astype(jnp.int32), *vp))
+            return out[1] > 0, _val_from_cols(out[2:], vdt), None
+    _, eq, val_prev, _, spos = _merge_rank(bl, vcols, plimbs,
                                            use_pallas=use_pallas,
                                            sorted_output=sorted_output)
-    return eq, psort.from_i32(val_prev, build_vals_sorted.dtype), spos
+    return eq, _val_from_cols(val_prev, vdt), spos
 
 
 _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
@@ -355,60 +382,62 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
-    vals_i32 = _jit_i32(build_vals_sorted)
+    vcols = _jit_val_cols(build_vals_sorted)
+    vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
                             probe_impl)
+
+    def first_match_fix(is_min, vn_cols):
+        # minimum-key probes: the lb pass's val_next points past the
+        # match run — the first match is slot 0 of each value column
+        return tuple(jnp.where(is_min, v[0], c)
+                     for v, c in zip(vcols, vn_cols))
+
     if strat == "direct":
         from cl_ops_tpu.ops.exec import bandprobe
         from cl_ops_tpu.utils.platform import pallas_interpret
         interp = pallas_interpret()
-        ub, _, _, _ = bandprobe.probe_direct(bl, vals_i32, plimbs,
+        ub, _, _, _ = bandprobe.probe_direct(bl, vcols, plimbs,
                                              interpret=interp)
         pm1, is_min = _jit_limbs_minus_one(plimbs)
-        lb, _, _, val_at_lb = bandprobe.probe_direct(
-            bl, vals_i32, pm1, interpret=interp)
+        lb, _, _, vns = bandprobe.probe_direct(
+            bl, vcols, pm1, interpret=interp)
         lb = jnp.where(is_min, 0, lb)
-        val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
         count = ub - lb
-        return (count, psort.from_i32(val_at_lb, build_vals_sorted.dtype),
+        return (count, _val_from_cols(first_match_fix(is_min, vns), vdt),
                 None)
     if strat == "banded":
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
             return q
-        spos, sp_limbs, res = _banded_passes(bl, vals_i32, plimbs,
+        spos, sp_limbs, res = _banded_passes(bl, vcols, plimbs,
                                              [lambda s: s, minus_one])
         if res is not None:
             ub, _, _, _ = res[0]
-            lb, _, _, val_at_lb = res[1]
+            lb, _, _, vns = res[1]
             # the lb pass ran on key-1 of the SORTED limbs; is_min marks
             # probes at the limb minimum (lower bound short-circuits to 0)
             _, is_min = _jit_limbs_minus_one(tuple(sp_limbs))
             lb = jnp.where(is_min, 0, lb)
-            val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
+            val_cols = first_match_fix(is_min, vns)
             count = ub - lb
             if sorted_output:  # skip the restore sort entirely
-                return count, psort.from_i32(
-                    val_at_lb, build_vals_sorted.dtype), spos
-            # restore: (pos, count, first_val) in one 3-column sort
-            rpos, rcount, rval = _jit_sort_cols((spos, count, val_at_lb))
-            return rcount, psort.from_i32(rval,
-                                          build_vals_sorted.dtype), None
+                return count, _val_from_cols(val_cols, vdt), spos
+            # restore: (pos, count, first_val...) in one column sort
+            out = _jit_sort_cols((spos, count, *val_cols))
+            return out[1], _val_from_cols(out[2:], vdt), None
     # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
     # by key-1, and those orders can interleave differently where min and
     # min+1 keys coexist (key-1 ties them) — so sorted_output cannot skip
     # the restores here; compute in original order (spos None = identity).
-    ub, _, _, _, _ = _merge_rank(bl, vals_i32, plimbs,
+    ub, _, _, _, _ = _merge_rank(bl, vcols, plimbs,
                                  use_pallas=use_pallas)
     pm1, is_min = _jit_limbs_minus_one(plimbs)
-    lb, _, _, val_at_lb, _ = _merge_rank(bl, vals_i32, pm1,
-                                         use_pallas=use_pallas)
+    lb, _, _, vns, _ = _merge_rank(bl, vcols, pm1,
+                                   use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)
-    # minimum-key probes: lb pass ran on the unchanged key, so its
-    # val_next points past the match run — the first match is slot 0
-    val_at_lb = jnp.where(is_min, vals_i32[0], val_at_lb)
     count = ub - lb
-    return count, psort.from_i32(val_at_lb, build_vals_sorted.dtype), None
+    return count, _val_from_cols(first_match_fix(is_min, vns), vdt), None
 
 
 @functools.lru_cache(maxsize=None)
@@ -427,8 +456,9 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
 
     Args:
       build_keys: keys of the build (dimension) side.
-      build_vals: values carried per build key (4-byte for the Pallas
-        probe path; 64-bit values fall back to lax.sort).
+      build_vals: values carried per build key. 4-byte values ride the
+        Pallas kernels as one i32 column; 8-byte values as two i32 limb
+        columns (other widths fall back to lax.sort).
       probe_keys: fact-side keys to look up.
       build_sorted: set True when build_keys are already ascending.
       sorter: registry Sorter for the build side (defaults to the Pallas
@@ -469,8 +499,8 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
-    if use_pallas and jnp.dtype(build_vals.dtype).itemsize != 4:
-        use_pallas = False
+    if use_pallas and jnp.dtype(build_vals.dtype).itemsize not in (4, 8):
+        use_pallas = False  # 8-byte values ride as two i32 limb columns
     if not build_sorted:
         if sorter is None:
             sorter = _default_build_sorter(jnp.dtype(build_keys.dtype).name,
@@ -555,7 +585,7 @@ def _expand_glue(sposj, valsr, prefix_inc, capacity: int):
     return total, pidx, valsr
 
 
-def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
+def _expand_from_ranges_banded(spos, ub, lb, svcols, capacity: int):
     """Band-kernel expansion: two band passes over sorted-ish queries.
 
     Pass 1 searches the inclusive match-count prefix with the output rows
@@ -586,7 +616,7 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
     interp = pallas_interpret()
-    nb = svals_i32.shape[0]
+    nb = svcols[0].shape[0]
     # 128-row probe blocks: 16K outputs per grid step <= the 16K-element
     # band window, so expansions with >= 1 match per spanned probe never
     # overflow (512-row blocks tripped the window exactly at 4 matches/
@@ -602,16 +632,16 @@ def _expand_from_ranges_banded(spos, ub, lb, svals_i32, capacity: int):
     bpos, blo, bhi = _expand_pass2_inputs(lbj, rq, j, vps[0], nb,
                                           pr * bandprobe.LANES)
     _, _, valsr, _, ovf2 = bandprobe.probe_banded_sorted(
-        (jnp.arange(nb, dtype=jnp.int32),), svals_i32, (bpos,),
+        (jnp.arange(nb, dtype=jnp.int32),), tuple(svcols), (bpos,),
         interpret=interp, probe_rows=pr, block_bounds=((blo,), (bhi,)))
     if bool(ovf2):  # sparse: direct gather instead of the band windows
-        valsr = _jit_gather(svals_i32, bpos)
+        valsr = _jit_gather(tuple(svcols), bpos)
     return _expand_glue(sposj, valsr, prefix_inc, capacity)
 
 
 @jax.jit
-def _jit_gather(vals, idx):
-    return jnp.take(vals, idx)
+def _jit_gather(val_cols, idx):
+    return tuple(jnp.take(v, idx) for v in val_cols)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -640,7 +670,7 @@ def _expand_pass2_inputs(lbj, rq, j, pex_raw, nb: int, block: int):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def _expand_from_ranges(spos, ub, lb, svals_i32, capacity: int):
+def _expand_from_ranges(spos, ub, lb, svcols, capacity: int):
     """Distribute match ranges over `capacity` output rows.
 
     Output row r belongs to the sorted probe j whose cumulative match
@@ -651,7 +681,7 @@ def _expand_from_ranges(spos, ub, lb, svals_i32, capacity: int):
     counts = ub - lb
     prefix_inc = jnp.cumsum(counts, dtype=jnp.int32)
     m = counts.shape[0]
-    nb = svals_i32.shape[0]
+    nb = svcols[0].shape[0]
     total = prefix_inc[m - 1]
     r = jnp.arange(capacity, dtype=jnp.int32)
     j = jnp.searchsorted(prefix_inc, r, side="right").astype(jnp.int32)
@@ -660,7 +690,7 @@ def _expand_from_ranges(spos, ub, lb, svals_i32, capacity: int):
     pij = jnp.take(prefix_inc, jc)
     off = r - (pij - cj)
     bpos = jnp.clip(jnp.take(lb, jc) + off, 0, nb - 1)
-    vals = jnp.take(svals_i32, bpos)
+    vals = tuple(jnp.take(v, bpos) for v in svcols)
     pidx = jnp.take(spos, jc)
     valid = r < jnp.minimum(total, jnp.int32(capacity))
     pidx = jnp.where(valid, pidx, jnp.int32(-1))
@@ -696,8 +726,8 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
     if probe_keys.shape[0] == 0 or build_keys.shape[0] == 0:
         return (jnp.int32(0), jnp.full((capacity,), -1, jnp.int32),
                 jnp.zeros((capacity,), build_vals.dtype))
-    if use_pallas and jnp.dtype(build_vals.dtype).itemsize != 4:
-        use_pallas = False
+    if use_pallas and jnp.dtype(build_vals.dtype).itemsize not in (4, 8):
+        use_pallas = False  # 8-byte values ride as two i32 limb columns
     if not build_sorted:
         if sorter is None:
             sorter = _default_build_sorter(jnp.dtype(build_keys.dtype).name,
@@ -706,16 +736,16 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
             build_keys, build_vals)
     bl = _jit_limbs(build_keys)
     plimbs = _jit_limbs(probe_keys)
-    vals_i32 = _jit_i32(build_vals)
-    spos, ub, lb = _ranges_sorted(bl, vals_i32, plimbs, use_pallas,
+    vcols = _jit_val_cols(build_vals)
+    spos, ub, lb = _ranges_sorted(bl, vcols, plimbs, use_pallas,
                                   probe_impl)
     out = None
     if use_pallas:
-        out = _expand_from_ranges_banded(spos, ub, lb, vals_i32, capacity)
+        out = _expand_from_ranges_banded(spos, ub, lb, vcols, capacity)
     if out is None:  # use_pallas=False or band overflow (sparse ranges)
-        out = _expand_from_ranges(spos, ub, lb, vals_i32, capacity)
+        out = _expand_from_ranges(spos, ub, lb, vcols, capacity)
     total, pidx, vals = out
-    return total, pidx, psort.from_i32(vals, build_vals.dtype)
+    return total, pidx, _val_from_cols(vals, build_vals.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("table_bits",))

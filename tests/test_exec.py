@@ -795,3 +795,55 @@ def test_hash_join_wide_m_restore():
     np.testing.assert_array_equal(np.asarray(found), expect)
     np.testing.assert_array_equal(np.asarray(vals)[expect],
                                   (pk[expect] // 3 + 5).astype(np.int32))
+
+
+@pytest.mark.parametrize("impl", ["direct", "banded", "merge"])
+@pytest.mark.parametrize("unique_build", [True, False])
+def test_hash_join_u64_values(impl, unique_build):
+    """8-byte build values ride every probe strategy as two i32 limb
+    columns. Regression: the old 'fallback' silently returned only the
+    LOW limb (jnp.take flattened the (n,2) bitcast)."""
+    rng = np.random.RandomState(83)
+    nb = (1 << 15) if impl == "banded" else 1000
+    if unique_build:
+        bk = np.arange(nb, dtype=np.uint32) * 2
+    else:
+        bk = np.sort(rng.randint(0, nb, size=nb).astype(np.uint32)) * 2
+    bv = (np.arange(nb, dtype=np.uint64) + (np.uint64(1) << np.uint64(40)))
+    pk = rng.randint(0, 2 * nb, size=2048).astype(np.uint32)
+    out = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                       build_sorted=True, use_pallas=True, probe_impl=impl,
+                       unique_build=unique_build)
+    found, vals = np.asarray(out[0]), np.asarray(out[1])
+    expect = np.isin(pk, bk)
+    if unique_build:
+        np.testing.assert_array_equal(found, expect)
+    else:
+        np.testing.assert_array_equal(found > 0, expect)
+    lut = {}
+    for k, v in zip(bk, bv):
+        lut.setdefault(int(k), int(v))  # first match in build order
+    for i in np.nonzero(expect)[0]:
+        assert int(vals[i]) == lut[int(pk[i])], (impl, i)
+
+
+def test_hash_join_expand_u64_values():
+    rng = np.random.RandomState(84)
+    nb = 4096
+    bk = np.sort(rng.randint(0, 1024, size=nb).astype(np.uint32))
+    bv = rng.randint(0, 1 << 62, size=nb, dtype=np.int64).astype(np.uint64)
+    pk = rng.randint(0, 1536, size=512).astype(np.uint32)
+    order = np.argsort(pk, kind="stable")
+    exp_vals, exp_pidx = [], []
+    for p in order:
+        lo, hi = np.searchsorted(bk, pk[p]), np.searchsorted(bk, pk[p], "right")
+        exp_vals.extend(bv[lo:hi])
+        exp_pidx.extend([p] * (hi - lo))
+    cap = 1 << int(np.ceil(np.log2(max(len(exp_vals), 2))))
+    total, pidx, vals = ex.hash_join_expand(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), capacity=cap,
+        build_sorted=True, use_pallas=True)
+    t = int(total)
+    assert t == len(exp_vals)
+    np.testing.assert_array_equal(np.asarray(pidx)[:t], exp_pidx)
+    np.testing.assert_array_equal(np.asarray(vals)[:t], exp_vals)
