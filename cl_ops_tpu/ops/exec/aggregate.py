@@ -120,14 +120,19 @@ def group_aggregate_prefix(keys, values, n_valid, *, num_groups: int,
 
 
 def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
-                           sorter=None, use_pallas: bool = True):
+                           sorter=None, use_pallas: bool = True,
+                           keys_sorted: bool = False):
     """Aggregate values by arbitrary key: sort -> boundary scan -> reduce.
 
     By default rows sort by (key, value) through the flagship Pallas
     bitonic (use_pallas=False keeps the same algorithm on `jax.lax.sort`).
     Passing an explicit registry `sorter` instead sorts by key only with
     values as payload (the reference-style op-composition path); min/max
-    then fall back to the scatter table.
+    then re-sort (group_id, value) once. keys_sorted=True skips the input
+    sort entirely — the fusion path for producers that already emit
+    key-grouped rows (e.g. hash_join/hash_join_expand with sorted_output:
+    an aggregate after a join need not pay the join's restore sort NOR
+    its own input sort).
 
     Returns (group_keys, table, count): the first `count` entries of
     group_keys/table hold one row per distinct key in ascending key order;
@@ -143,6 +148,9 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
             table_dt = values.dtype
         return (jnp.zeros((num_groups,), keys.dtype),
                 jnp.zeros((num_groups,), table_dt), jnp.int32(0))
+    if keys_sorted:
+        return _boundary_reduce(keys, values, num_groups=num_groups,
+                                agg=agg, use_pallas=use_pallas)
     if sorter is None:
         return _sorted_aggregate_pallas(keys, values, num_groups=num_groups,
                                         agg=agg, use_pallas=use_pallas)
@@ -187,12 +195,28 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
     count = group_id[-1] + 1
 
     if agg in ("min", "max") and not vals_in_key_order:
-        gid_scatter = jnp.where(valid, group_id, num_groups)  # drop invalid
-        table = group_aggregate_direct(gid_scatter, svals,
-                                       num_groups=num_groups, agg=agg)
-        first_pos = jnp.full((num_groups,), n, jnp.int32).at[gid_scatter].min(
-            pos, mode="drop")
-        group_keys = jnp.take(skeys, jnp.minimum(first_pos, n - 1))
+        # Values arrived in arbitrary within-group order (explicit-sorter
+        # path: key-only sort, values as payload). One (group_id, value)
+        # column sort makes min/max pure run-boundary gathers — the XLA
+        # scatter table this replaced is element-serialized on TPU
+        # (~2 Mrows/s; r2 weak item 6). group_id is nondecreasing in the
+        # key-sorted input, so run boundaries come from searchsorted over
+        # num_groups queries (cheap next to n).
+        vl = keymod.to_limbs(svals)
+        cols = (group_id, *vl)
+        out = psort.sort_i32_cols(cols) if use_pallas else tuple(
+            jax.lax.sort(list(cols), num_keys=len(cols)))
+        sv2 = keymod.from_limbs(list(out[1:]), svals.dtype)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
+        starts = jnp.searchsorted(out[0], gi).astype(jnp.int32)
+        ends_g = jnp.searchsorted(out[0], gi,
+                                  side="right").astype(jnp.int32) - 1
+        src = ends_g if agg == "max" else starts
+        valid_g = gi < count
+        table = jnp.where(valid_g, jnp.take(sv2, jnp.clip(src, 0, n - 1)),
+                          jnp.asarray(_init_scalar(svals.dtype, agg),
+                                      svals.dtype))
+        group_keys = jnp.take(skeys, jnp.clip(starts, 0, n - 1))
         return group_keys, table, count
 
     # end of group g = position before the next is_new / first invalid row

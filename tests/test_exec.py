@@ -847,3 +847,40 @@ def test_hash_join_expand_u64_values():
     assert t == len(exp_vals)
     np.testing.assert_array_equal(np.asarray(pidx)[:t], exp_pidx)
     np.testing.assert_array_equal(np.asarray(vals)[:t], exp_vals)
+
+
+@pytest.mark.parametrize("agg", ["min", "max"])
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_sorter_path_minmax(agg, use_pallas):
+    """Explicit-sorter path min/max: the (group_id, value) re-sort form
+    (was an element-serialized XLA scatter, r2 weak item 6)."""
+    from cl_ops_tpu.ops.sort import sort_new
+    rng = np.random.RandomState(90)
+    keys = rng.randint(0, 37, size=1500).astype(np.uint32)
+    vals = rng.randint(-100, 100, size=1500).astype(np.int32)
+    s = sort_new("xla")
+    gk, table, cnt = ex.group_aggregate_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), num_groups=64, agg=agg,
+        sorter=s, use_pallas=use_pallas)
+    uniq = np.unique(keys)
+    assert int(cnt) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uniq)], uniq)
+    oracle = np.min if agg == "min" else np.max
+    expect = np.array([oracle(vals[keys == k]) for k in uniq])
+    np.testing.assert_array_equal(np.asarray(table)[:len(uniq)], expect)
+
+
+def test_group_aggregate_keys_sorted_fusion():
+    """keys_sorted=True consumes pre-grouped rows without re-sorting —
+    the aggregate-after-sorted-join fusion."""
+    rng = np.random.RandomState(91)
+    keys = np.sort(rng.randint(0, 50, size=2000).astype(np.uint32))
+    vals = rng.randint(0, 100, size=2000).astype(np.int32)
+    gk, table, cnt = ex.group_aggregate_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), num_groups=64, agg="sum",
+        keys_sorted=True, use_pallas=True)
+    uniq = np.unique(keys)
+    assert int(cnt) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uniq)], uniq)
+    expect = np.array([vals[keys == k].sum() for k in uniq])
+    np.testing.assert_array_equal(np.asarray(table)[:len(uniq)], expect)
