@@ -44,8 +44,15 @@ def main(argv=None):
                          "compiles through the tunneled helper are slow; "
                          "running one config per process keeps each run "
                          "inside a shell timeout window)")
+    ap.add_argument("--tune", action="store_true",
+                    help="autotune the composite pipelines' internal "
+                         "sorts too (CL_OPS_PSORT_AUTOTUNE=1; first run "
+                         "sweeps candidates on-chip, cached after)")
     args = ap.parse_args(argv)
     configs = {int(c) for c in args.configs.split(",")}
+    if args.tune:
+        import os
+        os.environ["CL_OPS_PSORT_AUTOTUNE"] = "1"
     import numpy as np
     import jax
     from cl_ops_tpu.utils.platform import honor_env_platform
@@ -95,7 +102,8 @@ def main(argv=None):
         n = (1 << 24) // sc
         k64 = jnp.asarray(common.rand_array(np.uint64, n, 2))
         v32 = jnp.asarray(np.arange(n, dtype=np.int32))
-        s64 = sort_mod.sort_new("abitonic", elem_dtype="ulong")
+        s64 = sort_mod.sort_new("abitonic", "autotune=1",
+                                elem_dtype="ulong")
         dt = _timed(s64.sort_with_device_data, (k64, v32), runs, sync)
         ok, ov = s64.sort_with_device_data(k64, v32)
         okh = np.asarray(ok)

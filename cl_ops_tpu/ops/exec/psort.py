@@ -136,6 +136,11 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
     ~52 GB/s effective vs ~128 for the single-column flagship); block_rows
     is hard-capped at 512 — the 1024-row block-sort unroll produces an
     MLIR module big enough to OOM the remote compile helper.
+
+    Env CL_OPS_PSORT_AUTOTUNE=1 routes geometry through the on-chip tuner
+    (ops/sort/autotune.py, cached per device/rows/columns) — the knob the
+    composite exec pipelines (filter/aggregate/join) use to tune their
+    internal sorts without threading options through every operator.
     """
     if interpret is None:
         interpret = pallas_interpret()
@@ -144,9 +149,18 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
     arrs = [as_i32(c) for c in cols]
     arrs2d, padded = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
     rows = padded // bk.LANES
-    br = min(_bt._pick_block_rows(len(arrs), vmem), 512, rows)
-    mr = max(min(_bt._pick_merge_rows(br), rows), br)
+    sl = None
+    import os
+    if os.environ.get("CL_OPS_PSORT_AUTOTUNE") == "1" and not interpret:
+        from cl_ops_tpu.ops.sort.autotune import tune_geometry
+        br, mr, sl = tune_geometry(rows, len(arrs))
+        br = min(br, rows)
+        mr = max(min(mr, rows), br)
+    else:
+        br = min(_bt._pick_block_rows(len(arrs), vmem), 512, rows)
+        mr = max(min(_bt._pick_merge_rows(br), rows), br)
     out = bk.bitonic_sort_2d(tuple(arrs2d), block_rows=br, fused=True,
-                             merge_rows=mr, interpret=interpret)
+                             merge_rows=mr, interpret=interpret,
+                             single_launch=sl)
     return tuple(from_i32(a.reshape(-1)[:n], dt)
                  for a, dt in zip(out, dts))

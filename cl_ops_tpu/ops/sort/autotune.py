@@ -63,13 +63,16 @@ def candidate_geometries(rows: int, n_arrays: int) -> list[tuple[int, int]]:
     return cands
 
 
-def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
-    """Best (block_rows, merge_rows) for a padded (rows, 128) sort.
+def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int, bool | None]:
+    """Best (block_rows, merge_rows, single_launch) for a (rows, 128) sort.
 
     Measures each candidate on the live device with random data (3 timed
     runs after a warmup, one tiny readback sync per batch — the tunneled-
-    chip methodology of bench/common.py). Results persist across
-    processes keyed by (device kind, rows, n_arrays).
+    chip methodology of bench/common.py). When the problem fits the
+    whole-VMEM one-kernel sort, that kernel competes as its own candidate
+    and the verdict persists as the third tuple element (None = the
+    static auto rule decides). Results persist across processes keyed by
+    (device kind, rows, n_arrays).
     """
     import jax
     import jax.numpy as jnp
@@ -80,9 +83,11 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
         return _mem_cache[key]
     disk = _load()
     if key in disk:
-        br, mr = disk[key]
-        _mem_cache[key] = (br, mr)
-        return br, mr
+        entry = disk[key]
+        geo = (entry[0], entry[1],
+               entry[2] if len(entry) > 2 else None)  # pre-r3 cache rows
+        _mem_cache[key] = geo
+        return geo
 
     from cl_ops_tpu.ops.sort import bitonic_kernels as bk
 
@@ -93,28 +98,34 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
         .reshape(rows, bk.LANES)) for i in range(n_arrays)]
     small = jax.jit(lambda a: a[:8, :8].astype(jnp.float32).sum())
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("b", "m", "sl"))
+    def run(arrs, b, m, sl):
+        return bk.bitonic_sort_2d(tuple(arrs), block_rows=b, fused=True,
+                                  merge_rows=m, interpret=False,
+                                  single_launch=sl)
+
+    cands = [(br, mr, False) for br, mr in
+             candidate_geometries(rows, n_arrays)]
+    if bk.MIN_ROWS < rows * n_arrays <= bk.SINGLE_LAUNCH_MAX_ROWS:
+        cands.append((min(512, rows), min(512, rows), True))
+
     # Per-candidate checkpoint: each measurement persists immediately, so
     # a sweep interrupted mid-way (compiles through the tunneled helper
     # can take minutes each) resumes instead of restarting.
     partial_key = key + ":partial"
     done = dict(disk.get(partial_key, {}))
     best = None
-    for br, mr in candidate_geometries(rows, n_arrays):
-        ck = f"{br},{mr}"
+    for br, mr, sl in cands:
+        ck = f"{br},{mr},sl" if sl else f"{br},{mr}"
         if ck not in done:
-            import functools
-
-            @functools.partial(jax.jit, static_argnames=("b", "m"))
-            def run(arrs, b, m):
-                return bk.bitonic_sort_2d(tuple(arrs), block_rows=b,
-                                          fused=True, merge_rows=m,
-                                          interpret=False)
             try:
-                out = run(data, br, mr)
+                out = run(data, br, mr, sl)
                 float(small(out[0]))  # compile + sync
                 t0 = time.perf_counter()
                 for _ in range(3):
-                    out = run(data, br, mr)
+                    out = run(data, br, mr, sl)
                 float(small(out[0]))
                 done[ck] = (time.perf_counter() - t0) / 3
             except Exception:
@@ -123,12 +134,12 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int]:
             _save(disk)
         dt = done[ck]
         if dt is not None and (best is None or dt < best[0]):
-            best = (dt, br, mr)
+            best = (dt, br, mr, sl)
     if best is None:
         br = min(512, rows)
-        geo = (br, min(br * 4, rows))
+        geo = (br, min(br * 4, rows), None)
     else:
-        geo = (best[1], best[2])
+        geo = (best[1], best[2], best[3])
     _mem_cache[key] = geo
     disk.pop(partial_key, None)
     disk[key] = list(geo)

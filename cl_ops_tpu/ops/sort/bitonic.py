@@ -86,8 +86,10 @@ def abitonic_traffic_bytes(n: int, n_arrays: int,
 
 
 def _resolve_geometry(rows: int, n_arrays: int, options: dict,
-                      interpret: bool, fused: bool) -> tuple[int, int]:
-    """(block_rows, merge_rows) for a padded (rows, 128) problem.
+                      interpret: bool,
+                      fused: bool) -> tuple[int, int, bool | None]:
+    """(block_rows, merge_rows, single_launch) for a padded (rows, 128)
+    problem; single_launch None = the static auto rule decides.
 
     Priority: explicit options > autotune cache (option "autotune=1",
     live-device measurement, ops/sort/autotune.py) > the static VMEM
@@ -95,7 +97,7 @@ def _resolve_geometry(rows: int, n_arrays: int, options: dict,
     probing order (clo_sort_abitonic.c:486-543, :58-313).
     """
     vmem = int(options.get("vmem", 8 * 1024 * 1024))
-    br = mr = None
+    br = mr = sl = None
     if "block_rows" in options:
         br = int(options["block_rows"])
         if not is_po2(br):
@@ -105,17 +107,17 @@ def _resolve_geometry(rows: int, n_arrays: int, options: dict,
     if fused and options.get("autotune") == "1" and not interpret \
             and (br is None or mr is None):
         from cl_ops_tpu.ops.sort.autotune import tune_geometry
-        abr, amr = tune_geometry(rows, n_arrays)
+        abr, amr, sl = tune_geometry(rows, n_arrays)
         br = br if br is not None else abr
         mr = mr if mr is not None else amr
     if br is None:
         br = _pick_block_rows(n_arrays, vmem)
     br = min(br, rows)
     if not fused:
-        return br, br
+        return br, br, None
     if mr is None:
         mr = _pick_merge_rows(br)
-    return br, max(min(mr, rows), br)
+    return br, max(min(mr, rows), br), sl
 
 
 def _make_bitonic_sorter(fused: bool):
@@ -125,11 +127,12 @@ def _make_bitonic_sorter(fused: bool):
         jit_cache: dict = {}
 
         # option "single_launch=0|1" forces the whole-VMEM one-kernel sort
-        # off/on; absent = auto (small fused problems take it)
-        sl = options.get("single_launch")
-        single_launch = None if sl is None else sl == "1"
+        # off/on; absent = autotune verdict (with autotune=1) or the
+        # static auto rule (small fused problems take it)
+        slopt = options.get("single_launch")
+        opt_single_launch = None if slopt is None else slopt == "1"
 
-        def build(br, mr):
+        def build(br, mr, single_launch):
             def fn(limbs, payload):
                 arrs = list(limbs) + ([payload] if payload is not None
                                       else [])
@@ -149,16 +152,18 @@ def _make_bitonic_sorter(fused: bool):
             n_arrays = len(limbs) + (1 if payload is not None else 0)
             n = limbs[0].shape[0]
             rows = max(nlpo2(n), bk.MIN_ROWS * bk.LANES) // bk.LANES
-            br, mr = _resolve_geometry(rows, n_arrays, options, interpret,
-                                       fused)
-            key = (br, mr, n_arrays)
+            br, mr, tuned_sl = _resolve_geometry(rows, n_arrays, options,
+                                                 interpret, fused)
+            sl = opt_single_launch if opt_single_launch is not None \
+                else tuned_sl
+            key = (br, mr, n_arrays, sl)
             if key not in jit_cache:
                 _log.debug(
                     "%s: n=%d padded_rows=%d arrays=%d block_rows=%d "
-                    "merge_rows=%d interpret=%s",
+                    "merge_rows=%d single_launch=%s interpret=%s",
                     "abitonic" if fused else "sbitonic", n, rows, n_arrays,
-                    br, mr, interpret)
-                jit_cache[key] = build(br, mr)
+                    br, mr, sl, interpret)
+                jit_cache[key] = build(br, mr, sl)
             return jit_cache[key](limbs, payload)
 
         return dispatch

@@ -209,7 +209,7 @@ def test_autotune_candidates_and_cache(tmp_path, monkeypatch):
     monkeypatch.setenv(at._CACHE_ENV, str(tmp_path / "tune.json"))
     at._mem_cache.clear()
     geo = at.tune_geometry(64, 1)
-    assert geo == (64, 64)
+    assert geo == (64, 64, None)
     at._mem_cache.clear()
     assert at.tune_geometry(64, 1) == geo  # from disk
 
