@@ -21,6 +21,12 @@ def build_parser():
                    choices=["filter", "aggregate", "join", "expand"])
     p.add_argument("--dup", type=int, default=4,
                    help="expand: matches per probe (build dups)")
+    p.add_argument("--sparse", action="store_true",
+                   help="expand: stride probes across the whole build so "
+                        "one output block spans more build rows than the "
+                        "band window — exercises the direct-gather "
+                        "fallback for pass 2 (the old searchsorted path "
+                        "ran 49 s at 64M)")
     p.add_argument("-n", "--log2n", type=int, default=24,
                    help="rows = 2^log2n (default 24)")
     p.add_argument("-r", "--runs", type=int, default=5)
@@ -97,8 +103,15 @@ def main(argv=None):
         dim_keys = (np.arange(nd, dtype=np.uint32) % nkeys)
         rng.shuffle(dim_keys)
         dim_vals = np.arange(nd, dtype=np.int32)
-        probe = rng.randint(0, nkeys, size=n).astype(np.uint32)
-        capacity = args.dup * n
+        if args.sparse:
+            # every probe hits once, matches striding the whole build
+            stride = max(nkeys // n, 1)
+            probe = ((np.arange(n, dtype=np.int64) * stride) % nkeys
+                     ).astype(np.uint32)
+            capacity = args.dup * n
+        else:
+            probe = rng.randint(0, nkeys, size=n).astype(np.uint32)
+            capacity = args.dup * n
         from cl_ops_tpu.ops.sort import sort_new
         sorter = sort_new("xla", elem_dtype="uint")
         sdk, sdv = sorter.sort_with_device_data(jnp.asarray(dim_keys),
