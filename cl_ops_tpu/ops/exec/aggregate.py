@@ -203,7 +203,10 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
         # key-sorted input, so run boundaries come from searchsorted over
         # num_groups queries (cheap next to n).
         vl = keymod.to_limbs(svals)
-        cols = (group_id, *vl)
+        # invalid rows take group id num_groups: they sort past every real
+        # group's run and never contaminate a min/max (n_valid contract)
+        gid2 = jnp.where(valid, group_id, jnp.int32(num_groups))
+        cols = (gid2, *vl)
         out = psort.sort_i32_cols(cols) if use_pallas else tuple(
             jax.lax.sort(list(cols), num_keys=len(cols)))
         sv2 = keymod.from_limbs(list(out[1:]), svals.dtype)

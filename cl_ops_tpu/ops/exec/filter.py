@@ -59,7 +59,7 @@ def filter_compact(data, predicate: Callable, *extra_cols,
     keep_i32 = mask.astype(jnp.int32)
     count = jnp.sum(keep_i32)
     cols = (data, *extra_cols)
-    if use_pallas and n < 2 ** 31:
+    if use_pallas and n < 2 ** 31 and psort.cols_encodable(*cols):
         enc, spec = psort.cols_to_i32(cols)
         if 2 * n < _PACK_MAX:
             keys = (psort.flag_pos_key(jnp.int32(1) - keep_i32, n),)

@@ -194,12 +194,21 @@ def _merge_rank_xla(build_limbs, build_vcols, probe_limbs):
     eq = counts > 0
     for bl, sl in zip(build_limbs, s_limbs):
         eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
-    # back to original probe order; eq rides the low bit of the key
-    key3 = probe_src * 2 + eq.astype(jnp.int32)
     nv = len(val_prev)
-    out = jax.lax.sort([key3, counts, *val_prev, *val_next], num_keys=1)
-    return (out[1], (out[0] & 1) > 0, tuple(out[2:2 + nv]),
-            tuple(out[2 + nv:]))
+    if 2 * m < _PACK_MAX:
+        # back to original probe order; eq rides the low bit of the key
+        key3 = probe_src * 2 + eq.astype(jnp.int32)
+        out = jax.lax.sort([key3, counts, *val_prev, *val_next],
+                           num_keys=1)
+        return (out[1], (out[0] & 1) > 0, tuple(out[2:2 + nv]),
+                tuple(out[2 + nv:]))
+    # two-limb restore past the packed-key limit: probe_src is unique,
+    # so eq rides as an inert column (m can reach 2^31)
+    out = jax.lax.sort(
+        [probe_src, eq.astype(jnp.int32), counts, *val_prev, *val_next],
+        num_keys=1)
+    return (out[2], out[1] > 0, tuple(out[3:3 + nv]),
+            tuple(out[3 + nv:]))
 
 
 def _limbs_minus_one(limbs):
@@ -260,7 +269,7 @@ def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
         # and fail with confusing shape errors
         raise ValueError(
             f"probe_impl={probe_impl!r} requires the Pallas path "
-            "(use_pallas=True and 4-byte build values)")
+            "(use_pallas=True and 4- or 8-byte int/float build values)")
     if probe_impl == "direct" and nb > bandprobe.DIRECT_MAX:
         raise ValueError("build side too large for probe_impl='direct'")
     if probe_impl != "auto":
@@ -499,7 +508,8 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
-    if use_pallas and jnp.dtype(build_vals.dtype).itemsize not in (4, 8):
+    vdt = jnp.dtype(build_vals.dtype)
+    if use_pallas and (vdt.kind not in "iuf" or vdt.itemsize not in (4, 8)):
         use_pallas = False  # 8-byte values ride as two i32 limb columns
     if not build_sorted:
         if sorter is None:
@@ -726,7 +736,8 @@ def hash_join_expand(build_keys, build_vals, probe_keys, *, capacity: int,
     if probe_keys.shape[0] == 0 or build_keys.shape[0] == 0:
         return (jnp.int32(0), jnp.full((capacity,), -1, jnp.int32),
                 jnp.zeros((capacity,), build_vals.dtype))
-    if use_pallas and jnp.dtype(build_vals.dtype).itemsize not in (4, 8):
+    vdt = jnp.dtype(build_vals.dtype)
+    if use_pallas and (vdt.kind not in "iuf" or vdt.itemsize not in (4, 8)):
         use_pallas = False  # 8-byte values ride as two i32 limb columns
     if not build_sorted:
         if sorter is None:

@@ -60,6 +60,14 @@ def flag_pos_key(flag_i32, n: int):
     return flag_i32 * jnp.int32(n) + pos
 
 
+def cols_encodable(*cols) -> bool:
+    """True when every column has a cols_to_i32 encoding (int/uint/float
+    of 1/2/4/8 bytes — bool and complex cannot bitcast)."""
+    return all(jnp.dtype(c.dtype).kind in "iuf"
+               and jnp.dtype(c.dtype).itemsize in (1, 2, 4, 8)
+               for c in cols)
+
+
 def cols_to_i32(cols):
     """Encode arbitrary-width PAYLOAD columns as i32 columns.
 

@@ -81,8 +81,10 @@ def abitonic_traffic_bytes(n: int, n_arrays: int,
     mr = int(options["merge_rows"]) if "merge_rows" in options else \
         _pick_merge_rows(br)
     mr = max(min(mr, rows), br)
+    slopt = options.get("single_launch")
+    sl = None if slopt is None else slopt == "1"
     pad_bytes = (n + padded) * 4 * n_arrays if padded != n else 0
-    return bk.fused_traffic_bytes(padded, n_arrays, br, mr) + pad_bytes
+    return bk.fused_traffic_bytes(padded, n_arrays, br, mr, sl) + pad_bytes
 
 
 def _resolve_geometry(rows: int, n_arrays: int, options: dict,

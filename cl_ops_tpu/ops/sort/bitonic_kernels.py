@@ -702,19 +702,24 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
 
 
 def fused_traffic_bytes(n_padded: int, n_arrays: int, block_rows: int,
-                        merge_rows: int | None) -> int:
+                        merge_rows: int | None,
+                        single_launch: bool | None = None) -> int:
     """HBM bytes the fused schedule moves, mirroring bitonic_sort_2d.
 
     Per launch: block/merge kernels and pair-structured cross levels all
     read + write every array exactly once (2x). Used for the bench
     roofline accounting (bench/roofline.py) — keep in lockstep with the
-    fused branch of bitonic_sort_2d.
+    fused branch of bitonic_sort_2d, including the single_launch
+    resolution (None = the same auto rule; pass the resolved flag when
+    the caller forced or tuned it).
     """
     per = n_padded * 4 * n_arrays
     total_rows = n_padded // LANES
-    if (total_rows > block_rows
-            and total_rows * n_arrays <= SINGLE_LAUNCH_MAX_ROWS):
-        return 2 * per  # auto single-launch whole-VMEM sort: one sweep
+    if single_launch is None:
+        single_launch = (total_rows > block_rows
+                         and total_rows * n_arrays <= SINGLE_LAUNCH_MAX_ROWS)
+    if single_launch:
+        return 2 * per  # single-launch whole-VMEM sort: one sweep
     n = n_padded
     b = 2 * per  # block sort
     mr = min(merge_rows or block_rows, total_rows)

@@ -79,12 +79,16 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
         if pallas_local:
             # values sort as the trailing comparator column — same
             # semantics as lax.sort num_keys=3 (value order within a group
-            # is irrelevant for sum; min/max read group ends by gather)
+            # is irrelevant for sum; min/max read group ends by gather).
+            # Values must be ORDER-NORMALIZED limbs, not a raw bitcast:
+            # as_i32 would order float32/uint32 values by their bit
+            # patterns and min/max would gather the wrong group ends.
             limbs = keymod.to_limbs(kf)
+            vlimbs = keymod.to_limbs(vf)
             out = psort.sort_i32_cols(
-                (inv, *limbs, psort.as_i32(vf)), interpret=interp)
-            sk = keymod.from_limbs(list(out[1:-1]), kf.dtype)
-            sv = psort.from_i32(out[-1], vf.dtype)
+                (inv, *limbs, *vlimbs), interpret=interp)
+            sk = keymod.from_limbs(list(out[1:1 + len(limbs)]), kf.dtype)
+            sv = keymod.from_limbs(list(out[1 + len(limbs):]), vf.dtype)
         else:
             _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=3)
         n_valid = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)

@@ -53,18 +53,33 @@ def put_sharded(a, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.device_put(a, sharding)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _iota_fn(n: int, mesh: Mesh, axis: str, dtype):
+    import jax.numpy as jnp
+    return jax.jit(lambda: jnp.arange(n, dtype=dtype),
+                   out_shardings=NamedSharding(mesh, P(axis)))
+
+
 def iota_sharded(n: int, mesh: Mesh, axis: str = DATA_AXIS,
                  dtype=np.int32):
     """arange(n) materialized directly in the row sharding.
 
     jnp.arange would land process-local; producing it from a no-input jit
     with out_shardings works identically in single- and multi-process
-    meshes (every process runs the same program).
+    meshes (every process runs the same program). The jitted callables
+    cache per (n, mesh, axis, dtype) — a fresh jax.jit per call would
+    retrace (and remote-recompile) every time.
     """
+    return _iota_fn(n, mesh, axis, np.dtype(dtype).name)()
+
+
+@functools.lru_cache(maxsize=None)
+def _repl_sum_fn(mesh: Mesh):
     import jax.numpy as jnp
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.jit(lambda: jnp.arange(n, dtype=dtype),
-                   out_shardings=sharding)()
+    return jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))
 
 
 def replicated_sum_int(x, mesh: Mesh) -> int:
@@ -72,7 +87,7 @@ def replicated_sum_int(x, mesh: Mesh) -> int:
 
     jax.device_get on a non-fully-addressable array raises; summing to a
     REPLICATED scalar gives every process an addressable copy to read.
+    The jitted reducer caches per mesh.
     """
-    import jax.numpy as jnp
-    tot = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    tot = _repl_sum_fn(mesh)(x)
     return int(np.asarray(tot.addressable_shards[0].data))

@@ -57,17 +57,18 @@ def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
     The `dropped` counters partition_exchange returns are CHECKED here (one
     host sync per attempt). On any overflow the plan escalates: hash
     switches to range splitters (skew balances by row count, not key
-    space); later attempts quadruple the splitter sample and DOUBLE every
-    overflowing side's capacity (a single key heavier than one bucket
-    cannot be split — only capacity absorbs it). After `max_replan`
-    escalations with rows still dropping, raises RuntimeError: rows are
-    never silently lost.
+    space); next the splitter sample quadruples; after that every
+    overflowing side's capacity DOUBLES per attempt (a single key heavier
+    than one bucket cannot be split — only capacity absorbs it).
+    Capacity-doubling rounds keep the partition plan fixed, so sides that
+    did not overflow reuse their previous shuffle instead of re-running
+    the all_to_all. After `max_replan` escalations with rows still
+    dropping, raises RuntimeError: rows are never silently lost.
 
     Returns (results, final_capacities): results[i] = (counts, out_keys,
     *out_cols) for side i in partition_exchange's bucket layout, with
     final_capacities[i] the bucket bound actually used.
     """
-    import numpy as np
     if partition not in ("hash", "range"):
         raise ValueError(f"unknown partition {partition!r}")
     n_chips = mesh.shape[axis]
@@ -77,21 +78,34 @@ def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
                             key=lambda i: sides[i][0].shape[0])
     mode = partition
     attempt = 0
+    resampled = False
+    plan_v = 0
+    pids = None
+    cache: dict = {}  # side -> (plan_v, cap, result, drop)
     while True:
-        if mode == "hash":
-            pids = [hash_partition_ids(k, n_chips) for k, _ in sides]
-        else:
-            spl = plan_splitters(sides[splitter_side][0], mesh,
-                                 samples_per_chip=samples_per_chip,
-                                 axis=axis)
-            pids = [jnp.searchsorted(spl, k).astype(jnp.int32)
-                    for k, _ in sides]
+        if pids is None:
+            if mode == "hash":
+                pids = [hash_partition_ids(k, n_chips) for k, _ in sides]
+            else:
+                spl = plan_splitters(sides[splitter_side][0], mesh,
+                                     samples_per_chip=samples_per_chip,
+                                     axis=axis)
+                pids = [jnp.searchsorted(spl, k).astype(jnp.int32)
+                        for k, _ in sides]
         results, drops = [], []
-        for (k, cols), pid, cap in zip(sides, pids, caps):
-            counts, dropped, *outs = partition_exchange(
-                k, pid, mesh, capacity=cap, axis=axis, extra_cols=cols)
-            results.append((counts, *outs))
-            drops.append(replicated_sum_int(dropped, mesh))
+        for i, ((k, cols), pid) in enumerate(zip(sides, pids)):
+            hit = cache.get(i)
+            if hit is not None and hit[0] == plan_v and hit[1] == caps[i]:
+                res, drop = hit[2], hit[3]
+            else:
+                counts, dropped, *outs = partition_exchange(
+                    k, pid, mesh, capacity=caps[i], axis=axis,
+                    extra_cols=cols)
+                res = (counts, *outs)
+                drop = replicated_sum_int(dropped, mesh)
+                cache[i] = (plan_v, caps[i], res, drop)
+            results.append(res)
+            drops.append(drop)
         if not any(drops):
             return results, tuple(caps)
         if attempt >= max_replan:
@@ -102,8 +116,14 @@ def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
         attempt += 1
         if mode == "hash":
             mode = "range"  # skew-aware: balance row counts, not key space
-        else:
+            plan_v += 1
+            pids = None
+        elif not resampled:
             samples_per_chip *= 4
+            resampled = True
+            plan_v += 1
+            pids = None
+        else:  # plan fixed: only the overflowing sides re-shuffle
             caps = [c * 2 if d else c for c, d in zip(caps, drops)]
 
 

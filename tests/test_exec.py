@@ -884,3 +884,47 @@ def test_group_aggregate_keys_sorted_fusion():
     np.testing.assert_array_equal(np.asarray(gk)[:len(uniq)], uniq)
     expect = np.array([vals[keys == k].sum() for k in uniq])
     np.testing.assert_array_equal(np.asarray(table)[:len(uniq)], expect)
+
+
+def test_filter_compact_bool_payload_falls_back():
+    """bool payload columns cannot bitcast to i32 — must take the lax.sort
+    fallback instead of crashing (review finding r3)."""
+    rng = np.random.RandomState(85)
+    x = rng.randint(0, 100, size=1024).astype(np.int32)
+    flags = (x % 7 == 0)
+    pred = lambda d: d < 50  # noqa: E731
+    count, px, pf = ex.filter_compact(jnp.asarray(x), pred,
+                                      jnp.asarray(flags), use_pallas=True)
+    m = x < 50
+    assert int(count) == m.sum()
+    np.testing.assert_array_equal(np.asarray(px)[:m.sum()], x[m])
+    np.testing.assert_array_equal(np.asarray(pf)[:m.sum()], flags[m])
+
+
+def test_dist_group_aggregate_pallas_minmax_float():
+    """Pallas local path min/max with float values: value columns must be
+    order-normalized limbs, not raw bitcasts (review finding r3)."""
+    import jax
+    from cl_ops_tpu import parallel
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    assert len(jax.devices()) >= 8
+    mesh = parallel.make_mesh(8)
+    rng = np.random.RandomState(86)
+    n = 8 * 128
+    keys = rng.randint(0, 13, size=n).astype(np.uint32)
+    vals = (rng.randn(n) * 10).astype(np.float32)  # negative floats
+    for agg in ("min", "max"):
+        gk, table, cnt = dist_group_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), mesh,
+            num_groups=32, capacity=n, agg=agg, use_pallas=True)
+        gk = np.asarray(gk).reshape(8, 32)
+        table = np.asarray(table).reshape(8, 32)
+        cnt = np.asarray(cnt).reshape(8)
+        got = {}
+        for c in range(8):
+            for i in range(cnt[c]):
+                got[int(gk[c, i])] = table[c, i]
+        oracle = np.min if agg == "min" else np.max
+        for k in np.unique(keys):
+            np.testing.assert_allclose(got[int(k)], oracle(vals[keys == k]),
+                                       rtol=1e-6, err_msg=agg)
