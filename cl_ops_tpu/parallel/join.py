@@ -224,3 +224,86 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     if unique_build:
         return cnt > 0, vals
     return cnt, vals
+
+
+def dist_hash_join_expand(build_keys, build_vals, probe_keys, mesh: Mesh, *,
+                          capacity_build: int, capacity_probe: int,
+                          capacity_out: int, axis: str = DATA_AXIS,
+                          partition: str = "hash", max_replan: int = 3,
+                          samples_per_chip: int = 256):
+    """Distributed FULL inner-join expansion: all matching pairs.
+
+    The multi-chip `hash_join_expand`: both relations co-partition by key
+    (same adaptive skew re-planning as dist_hash_join), every chip expands
+    its partition locally, and outputs STAY partition-sharded — expansion
+    rows belong to their key's partition; there is no per-probe-row
+    alignment to route back to.
+
+    capacity_out bounds output PAIRS PER CHIP (static shapes). Returns
+    (totals, probe_rows, vals), all row-sharded: chip c's slice holds
+    totals[c] true matches for its partition; its first
+    min(totals[c], capacity_out) output rows each hold (original global
+    probe row, build value), ordered by (key, arrival order); rows beyond
+    hold probe_rows == -1. totals[c] > capacity_out means that chip's
+    output was truncated — re-run with a larger capacity_out.
+    """
+    n_chips = mesh.shape[axis]
+    if not is_po2(n_chips):
+        raise ValueError("mesh axis size must be a power of 2")
+    n_probe = probe_keys.shape[0]
+    gidx = iota_sharded(n_probe, mesh, axis)
+    (bres, pres), (cb, cp) = keyed_exchange_replan(
+        [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+        capacities=(capacity_build, capacity_probe), axis=axis,
+        partition=partition, max_replan=max_replan,
+        samples_per_chip=samples_per_chip, splitter_side=1,
+        op_name="dist_hash_join_expand")
+    bcounts, bk, bv = bres
+    pcounts, pk, pg = pres
+
+    from cl_ops_tpu.ops.exec.join import (_expand_from_ranges,
+                                          _jit_val_cols, _val_from_cols)
+
+    def local_fn(bc, bkl, bvl, pc, pkl, pgl):
+        bc = bc.reshape(-1)
+        pc = pc.reshape(-1)
+        bkl = bkl.reshape(n_chips, cb)
+        bvl = bvl.reshape(n_chips, cb)
+        pkl = pkl.reshape(n_chips, cp)
+        pgl = pgl.reshape(n_chips, cp)
+        slot_b = jax.lax.broadcasted_iota(jnp.int32, bkl.shape, 1)
+        valid_b = slot_b < bc[:, None]
+        slot_p = jax.lax.broadcasted_iota(jnp.int32, pkl.shape, 1)
+        valid_p = (slot_p < pc[:, None]).reshape(-1)
+
+        # sorted local build table: valid rows form the prefix
+        inv_b = jnp.logical_not(valid_b).astype(jnp.int32).reshape(-1)
+        _, skey, sval = jax.lax.sort(
+            [inv_b, bkl.reshape(-1), bvl.reshape(-1)], num_keys=2)
+        nv = jnp.sum(bc, dtype=jnp.int32)
+        kdt = jnp.dtype(skey.dtype)
+        maxk = (jnp.asarray(jnp.iinfo(kdt).max, kdt)
+                if jnp.issubdtype(kdt, jnp.integer)
+                else jnp.asarray(jnp.inf, kdt))
+        pos_b = jax.lax.broadcasted_iota(jnp.int32, skey.shape, 0)
+        skey = jnp.where(pos_b < nv, skey, maxk)
+
+        # probes sorted by (validity, key), carrying global row ids
+        inv_p = jnp.logical_not(valid_p).astype(jnp.int32)
+        _, spk, sg, svalid_i = jax.lax.sort(
+            [inv_p, pkl.reshape(-1), pgl.reshape(-1),
+             valid_p.astype(jnp.int32)], num_keys=2)
+        ub = jnp.minimum(jnp.searchsorted(
+            skey, spk, side="right").astype(jnp.int32), nv)
+        lb = jnp.minimum(jnp.searchsorted(
+            skey, spk).astype(jnp.int32), nv)
+        ub = jnp.where(svalid_i > 0, ub, 0)
+        lb = jnp.where(svalid_i > 0, lb, 0)
+        total, pidx, vals = _expand_from_ranges(
+            sg, ub, lb, _jit_val_cols(sval), capacity_out)
+        return (total.reshape(1), pidx, _val_from_cols(vals, bvl.dtype))
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
+                   out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    return fn(*(put_sharded(a, mesh, axis)
+                for a in (bcounts, bk, bv, pcounts, pk, pg)))

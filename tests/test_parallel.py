@@ -426,3 +426,47 @@ def test_dist_hash_join_range_partition(mesh8):
     np.testing.assert_array_equal(found, expect)
     np.testing.assert_array_equal(vals[expect],
                                   (fact[expect] + 9).astype(np.int32))
+
+
+def test_dist_hash_join_expand(mesh8):
+    """Distributed full expansion: partition-sharded (probe row, value)
+    pairs, multiset-exact vs the numpy oracle, truncation reported."""
+    from cl_ops_tpu.parallel.join import dist_hash_join_expand
+    import jax.numpy as jnp
+    rng = np.random.RandomState(60)
+    nb = 8 * 64
+    build = np.sort(rng.randint(0, 200, size=nb).astype(np.uint32))
+    bvals = np.arange(nb, dtype=np.int32) + 7
+    probe = rng.randint(0, 256, size=8 * 128).astype(np.uint32)
+    cap_out = 4096
+    totals, pidx, vals = dist_hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe), mesh8,
+        capacity_build=nb, capacity_probe=len(probe), capacity_out=cap_out)
+    totals = np.asarray(totals).reshape(8)
+    pidx = np.asarray(pidx).reshape(8, cap_out)
+    vals = np.asarray(vals).reshape(8, cap_out)
+    got = []
+    for c in range(8):
+        t = totals[c]
+        assert t <= cap_out, "test capacity must not truncate"
+        got.extend(zip(pidx[c, :t].tolist(), vals[c, :t].tolist()))
+    expect = []
+    for i, p in enumerate(probe):
+        for b, v in zip(build, bvals):
+            if b == p:
+                expect.append((i, int(v)))
+    assert sorted(got) == sorted(expect)
+
+
+def test_dist_hash_join_expand_truncation_reported(mesh8):
+    from cl_ops_tpu.parallel.join import dist_hash_join_expand
+    import jax.numpy as jnp
+    build = np.zeros(8 * 8, np.uint32)      # every probe matches all 64
+    bvals = np.arange(8 * 8, dtype=np.int32)
+    probe = np.zeros(8 * 8, np.uint32)
+    totals, pidx, vals = dist_hash_join_expand(
+        jnp.asarray(build), jnp.asarray(bvals), jnp.asarray(probe), mesh8,
+        capacity_build=64, capacity_probe=64, capacity_out=128)
+    totals = np.asarray(totals).reshape(8)
+    assert totals.sum() == 64 * 64          # true total reported
+    assert totals.max() > 128               # truncation visible per chip
