@@ -86,6 +86,45 @@ def main(pid: int, nproc: int, port: int) -> None:
     np.testing.assert_array_equal(
         fvl[expect_f], (probe[lo:hi][expect_f] * 5 + 3).astype(np.int32))
 
+    # --- distributed full expansion (partition-sharded output pairs):
+    # verify THIS process's partitions against the global oracle multiset
+    from cl_ops_tpu.parallel.join import dist_hash_join_expand
+    nb2 = n_chips * 16
+    b2 = np.sort(np.random.RandomState(6).randint(
+        0, 64, size=nb2).astype(np.uint32))
+    bv2 = np.arange(nb2, dtype=np.int32) + 11
+    p2 = np.random.RandomState(7).randint(0, 80, size=n).astype(np.uint32)
+    cap_out = 8 * n // n_chips
+    g_b2 = multiproc.from_process_local(b2[pid * nb2 // nproc:
+                                           (pid + 1) * nb2 // nproc], mesh)
+    g_bv2 = multiproc.from_process_local(bv2[pid * nb2 // nproc:
+                                             (pid + 1) * nb2 // nproc], mesh)
+    g_p2 = multiproc.from_process_local(p2[lo:hi], mesh)
+    totals, pidx, vals = dist_hash_join_expand(
+        g_b2, g_bv2, g_p2, mesh, capacity_build=nb2, capacity_probe=n,
+        capacity_out=cap_out)
+    tl = multiproc.local_rows(totals).reshape(-1)
+    pl = multiproc.local_rows(pidx).reshape(len(tl), cap_out)
+    vl = multiproc.local_rows(vals).reshape(len(tl), cap_out)
+    got = []
+    for c in range(len(tl)):
+        assert tl[c] <= cap_out
+        got.extend(zip(pl[c, :tl[c]].tolist(), vl[c, :tl[c]].tolist()))
+    # oracle: pairs whose key lands on one of THIS process's chips
+    from cl_ops_tpu.parallel.splitters import hash_partition_ids
+    import jax.numpy as jnp_
+    my_chips = set(range(pid * (n_chips // nproc),
+                         (pid + 1) * (n_chips // nproc)))
+    part_of = np.asarray(hash_partition_ids(jnp_.asarray(p2), n_chips))
+    expect_pairs = []
+    for i, pk_ in enumerate(p2):
+        if int(part_of[i]) not in my_chips:
+            continue
+        for bkey, bval in zip(b2, bv2):
+            if bkey == pk_:
+                expect_pairs.append((i, int(bval)))
+    assert sorted(got) == sorted(expect_pairs)
+
     print(f"MP_OK_{pid}", flush=True)
 
 
