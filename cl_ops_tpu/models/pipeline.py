@@ -112,3 +112,43 @@ def star_query(n: int, dim_rows: int = 1 << 14, num_cats: int = 256,
     gk = jnp.where(slot < gcnt, gk, jnp.int32(num_cats))
     table = jnp.zeros((num_cats,), tbl.dtype).at[gk].set(tbl, mode="drop")
     return count, table
+
+
+def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
+                 use_pallas: bool = True):
+    """SELECT f.key, SUM(f.measure) FROM fact f SEMI JOIN dim d
+    ON f.key = d.key GROUP BY f.key — the big-dimension rollup.
+
+    The restore-free composition (r3): the BANDED join emits probe rows
+    in key-sorted order with the fact measure (and the key itself) riding
+    the probe sort as payload columns, and the aggregate consumes them
+    with keys_sorted=True — the pipeline pays ONE probe sort total: no
+    join restore sort, no aggregate input sort, no per-column gathers.
+    Unlike star_query this host-syncs on band-overflow flags (large
+    dimension sides need the banded strategy), so it is a host-driven
+    pipeline, not one jit.
+
+    Returns (group_keys, sums, count): per distinct matched fact key, the
+    sum of its measures over rows whose key exists in dim (even keys by
+    construction); unmatched rows contribute zero and their keys report a
+    zero-sum group.
+    """
+    from cl_ops_tpu.ops.exec import join as jn
+    keys, measures = generate_table(n, seed, key_space=2 * dim_rows)
+    measures = measures.astype(jnp.int32)
+    dim_keys = jax.lax.broadcasted_iota(jnp.uint32, (dim_rows,), 0) * 2
+    dim_vals = jax.lax.broadcasted_iota(jnp.int32, (dim_rows,), 0)
+    # banded pinned (not auto): both the banded strategy and its pallas
+    # merge fallback emit key-sorted rows; the direct strategy would keep
+    # original order and invalidate keys_sorted below
+    found, _, _, (m_s, k_s) = jn.hash_join(
+        dim_keys, dim_vals, keys, build_sorted=True,
+        use_pallas=use_pallas, sorted_output=True,
+        probe_impl="banded" if use_pallas else "merge",
+        probe_cols=(measures, keys))
+    contrib = jnp.where(found, m_s, jnp.int32(0))
+    # use_pallas=False (the A/B baseline) comes back in ORIGINAL order
+    # (XLA merge path), so the aggregate must sort its input there
+    return agg.group_aggregate_sorted(
+        k_s, contrib, num_groups=2 * dim_rows, agg="sum",
+        keys_sorted=use_pallas, use_pallas=use_pallas)

@@ -294,19 +294,24 @@ def _band_probe_rows(m: int, nb: int) -> int:
     return pr
 
 
-def _banded_passes(bl, vals_i32, plimbs, passes):
+def _banded_passes(bl, vals_i32, plimbs, passes, extra_cols=()):
     """Run band probes over sorted probes; None on band overflow.
 
-    Sorts the probes ONCE (with their position as payload), runs one band
-    pass per entry of `passes` (each maps sorted limbs -> probe limbs),
-    and returns (pos_sorted, results) with results per SORTED probe.
+    Sorts the probes ONCE (with their position as payload, plus any
+    caller-supplied i32 `extra_cols` riding the same sort — the
+    probe-payload channel of sorted_output joins), runs one band pass
+    per entry of `passes` (each maps sorted limbs -> probe limbs), and
+    returns (pos_sorted, sorted limbs, results, sorted extra cols) with
+    results per SORTED probe.
     """
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
     m = plimbs[0].shape[0]
     pos = jnp.arange(m, dtype=jnp.int32)
-    sp = _jit_sort_cols((*plimbs, pos))
-    sp_limbs, spos = tuple(sp[:-1]), sp[-1]
+    nl = len(plimbs)
+    sp = _jit_sort_cols((*plimbs, pos, *extra_cols))
+    sp_limbs, spos = tuple(sp[:nl]), sp[nl]
+    scols = tuple(sp[nl + 1:])
     interp = pallas_interpret()
     pr = _band_probe_rows(m, bl[0].shape[0])
     results = []
@@ -316,15 +321,20 @@ def _banded_passes(bl, vals_i32, plimbs, passes):
             tuple(bl), vals_i32, tuple(qlimbs), interpret=interp,
             probe_rows=pr)
         if bool(ovf):  # extreme skew: window exceeded -> merge fallback
-            return None, None, None
+            return None, None, None, None
         results.append((count, eq, vp, vn))
-    return spos, sp_limbs, results
+    return spos, sp_limbs, results, scols
 
 
 def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
                   use_pallas: bool = True, probe_impl: str = "auto",
-                  sorted_output: bool = False):
-    """Unique-build-key probe: (found, vals, spos|None) per output row.
+                  sorted_output: bool = False, probe_cols_enc=()):
+    """Unique-build-key probe: (found, vals, spos|None, pcols|None).
+
+    probe_cols_enc: encoded i32 probe-side payload columns. On the banded
+    strategy they ride the probe sort (returned in output order as the
+    4th element); None means the caller reorders them itself (original
+    order or via spos).
 
     Small build sides (<= bandprobe.DIRECT_MAX rows) take the direct band
     kernel: binary-search counts in ORIGINAL probe order — no probe sort,
@@ -348,29 +358,30 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
         from cl_ops_tpu.utils.platform import pallas_interpret
         _, eq, vps, _ = bandprobe.probe_direct(
             bl, vcols, plimbs, interpret=pallas_interpret())
-        return eq, _val_from_cols(vps, vdt), None
+        return eq, _val_from_cols(vps, vdt), None, None
     if strat == "banded":
-        spos, _, res = _banded_passes(bl, vcols, plimbs,
-                                      [lambda s: s])
+        spos, _, res, scols = _banded_passes(
+            bl, vcols, plimbs, [lambda s: s],
+            extra_cols=probe_cols_enc if sorted_output else ())
         if res is not None:
             _, eq, vp, _ = res[0]
             if sorted_output:  # skip the restore sort entirely
-                return eq, _val_from_cols(vp, vdt), spos
+                return eq, _val_from_cols(vp, vdt), spos, scols
             m = spos.shape[0]
             if 2 * m < _PACK_MAX:
                 # restore: pos rides the key with eq in the low bit
                 key3 = spos * 2 + eq.astype(jnp.int32)
                 out = _jit_sort_cols((key3, *vp))
                 return ((out[0] & 1) > 0,
-                        _val_from_cols(out[1:], vdt), None)
+                        _val_from_cols(out[1:], vdt), None, None)
             # two-limb rank restore (n up to 2^31): spos is unique, so
             # eq rides as an inert column instead of packing into the key
             out = _jit_sort_cols((spos, eq.astype(jnp.int32), *vp))
-            return out[1] > 0, _val_from_cols(out[2:], vdt), None
+            return out[1] > 0, _val_from_cols(out[2:], vdt), None, None
     _, eq, val_prev, _, spos = _merge_rank(bl, vcols, plimbs,
                                            use_pallas=use_pallas,
                                            sorted_output=sorted_output)
-    return eq, _val_from_cols(val_prev, vdt), spos
+    return eq, _val_from_cols(val_prev, vdt), spos, None
 
 
 _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
@@ -378,8 +389,8 @@ _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
 
 def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                         use_pallas: bool = True, probe_impl: str = "auto",
-                        sorted_output: bool = False):
-    """Non-unique-build-key probe: (match_count, first_vals, spos|None).
+                        sorted_output: bool = False, probe_cols_enc=()):
+    """Non-unique probe: (match_count, first_vals, spos|None, pcols|None).
 
     Upper bound (#build <= key) from one pass; lower bound (#build < key)
     = #build <= key-1 in integer limb space from a second pass on key-1
@@ -414,13 +425,14 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
         lb = jnp.where(is_min, 0, lb)
         count = ub - lb
         return (count, _val_from_cols(first_match_fix(is_min, vns), vdt),
-                None)
+                None, None)
     if strat == "banded":
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
             return q
-        spos, sp_limbs, res = _banded_passes(bl, vcols, plimbs,
-                                             [lambda s: s, minus_one])
+        spos, sp_limbs, res, scols = _banded_passes(
+            bl, vcols, plimbs, [lambda s: s, minus_one],
+            extra_cols=probe_cols_enc if sorted_output else ())
         if res is not None:
             ub, _, _, _ = res[0]
             lb, _, _, vns = res[1]
@@ -431,10 +443,10 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
             val_cols = first_match_fix(is_min, vns)
             count = ub - lb
             if sorted_output:  # skip the restore sort entirely
-                return count, _val_from_cols(val_cols, vdt), spos
+                return count, _val_from_cols(val_cols, vdt), spos, scols
             # restore: (pos, count, first_val...) in one column sort
             out = _jit_sort_cols((spos, count, *val_cols))
-            return out[1], _val_from_cols(out[2:], vdt), None
+            return out[1], _val_from_cols(out[2:], vdt), None, None
     # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
     # by key-1, and those orders can interleave differently where min and
     # min+1 keys coexist (key-1 ties them) — so sorted_output cannot skip
@@ -446,7 +458,8 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                                    use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)
     count = ub - lb
-    return count, _val_from_cols(first_match_fix(is_min, vns), vdt), None
+    return (count, _val_from_cols(first_match_fix(is_min, vns), vdt),
+            None, None)
 
 
 @functools.lru_cache(maxsize=None)
@@ -460,7 +473,8 @@ def _default_build_sorter(dtype, use_pallas: bool):
 def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
               sorter=None, use_pallas: bool = True,
               unique_build: bool = True, join_type: str = "inner",
-              probe_impl: str = "auto", sorted_output: bool = False):
+              probe_impl: str = "auto", sorted_output: bool = False,
+              probe_cols=()):
     """Equi-join probe of the fact side against the build side.
 
     Args:
@@ -486,7 +500,11 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         probe row of output row i. The banded 16Mx1M pipeline spends
         about a third of its time restoring original order; consumers
         that re-sort anyway (aggregates) or carry several probe columns
-        (gather them through probe_rows once) should pass True.
+        should pass True.
+      probe_cols: extra probe-side payload columns (fact measures etc.),
+        returned reordered to match the output rows (requires
+        sorted_output). On the banded strategy they ride the probe sort
+        itself; elsewhere they reorder through probe_rows.
 
     NOT wrappable in jax.jit when the banded strategy is in play: the
     band-overflow fallback reads `bool(ovf)` on a device array (a host
@@ -504,10 +522,14 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
       anti: bool mask of probes with no match.
       With sorted_output=True every form gains a trailing `probe_rows`
       array (the original probe row per output row) and rows arrive in
-      strategy order instead of probe order.
+      strategy order instead of probe order; with probe_cols the
+      reordered payload columns follow as one trailing tuple.
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
+    if probe_cols and not sorted_output:
+        raise ValueError("probe_cols requires sorted_output=True (in "
+                         "original order the inputs are already aligned)")
     vdt = jnp.dtype(build_vals.dtype)
     if use_pallas and (vdt.kind not in "iuf" or vdt.itemsize not in (4, 8)):
         use_pallas = False  # 8-byte values ride as two i32 limb columns
@@ -517,25 +539,36 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
                                            use_pallas)
         build_keys, build_vals = sorter.sort_with_device_data(
             build_keys, build_vals)
+    pc_enc, pc_spec = (psort.cols_to_i32(tuple(probe_cols))
+                       if probe_cols else ((), ()))
     if unique_build:
-        found, vals, spos = _probe_sorted(
+        found, vals, spos, scols = _probe_sorted(
             build_keys, build_vals, probe_keys, use_pallas=use_pallas,
-            probe_impl=probe_impl, sorted_output=sorted_output)
+            probe_impl=probe_impl, sorted_output=sorted_output,
+            probe_cols_enc=pc_enc)
     else:
-        count, vals, spos = _probe_sorted_multi(
+        count, vals, spos, scols = _probe_sorted_multi(
             build_keys, build_vals, probe_keys, use_pallas=use_pallas,
-            probe_impl=probe_impl, sorted_output=sorted_output)
+            probe_impl=probe_impl, sorted_output=sorted_output,
+            probe_cols_enc=pc_enc)
         found = count > 0
     if sorted_output and spos is None:  # strategy kept original order
         spos = jnp.arange(probe_keys.shape[0], dtype=jnp.int32)
+    out_cols = ()
+    if probe_cols:
+        if scols is None:  # strategy did not carry them: one gather each
+            scols = tuple(jnp.take(c, spos) for c in pc_enc)
+        out_cols = (psort.cols_from_i32(scols, pc_spec),)
     if join_type == "semi":
-        return (found, spos) if sorted_output else found
+        return (found, spos, *out_cols) if sorted_output else found
     if join_type == "anti":
         na = jnp.logical_not(found)
-        return (na, spos) if sorted_output else na
+        return (na, spos, *out_cols) if sorted_output else na
     if unique_build:
-        return (found, vals, spos) if sorted_output else (found, vals)
-    return (count, vals, spos) if sorted_output else (count, vals)
+        return ((found, vals, spos, *out_cols) if sorted_output
+                else (found, vals))
+    return ((count, vals, spos, *out_cols) if sorted_output
+            else (count, vals))
 
 
 def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
@@ -553,8 +586,8 @@ def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
             return q
-        spos, sp_limbs, res = _banded_passes(bl, vals_i32, plimbs,
-                                             [lambda s: s, minus_one])
+        spos, sp_limbs, res, _ = _banded_passes(bl, vals_i32, plimbs,
+                                                [lambda s: s, minus_one])
         if res is not None:
             ub = res[0][0]
             lb = res[1][0]

@@ -928,3 +928,34 @@ def test_dist_group_aggregate_pallas_minmax_float():
         for k in np.unique(keys):
             np.testing.assert_allclose(got[int(k)], oracle(vals[keys == k]),
                                        rtol=1e-6, err_msg=agg)
+
+
+@pytest.mark.parametrize("impl", ["direct", "banded", "merge"])
+def test_hash_join_probe_cols(impl):
+    """probe_cols ride the join to output order: the fact-measure channel
+    for join -> aggregate without per-column random gathers."""
+    rng = np.random.RandomState(92)
+    nb = (1 << 15) if impl == "banded" else 512
+    bk = np.arange(nb, dtype=np.uint32) * 2
+    bv = np.arange(nb, dtype=np.int32)
+    pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
+    measure = rng.randint(0, 1000, size=4096).astype(np.int32)
+    wide = rng.randint(0, 1 << 60, size=4096,
+                       dtype=np.int64).astype(np.uint64)
+    found, vals, pr, (m_out, w_out) = ex.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, probe_impl=impl,
+        sorted_output=True, probe_cols=(jnp.asarray(measure),
+                                        jnp.asarray(wide)))
+    pr = np.asarray(pr)
+    np.testing.assert_array_equal(np.asarray(m_out), measure[pr])
+    np.testing.assert_array_equal(np.asarray(w_out), wide[pr])
+    np.testing.assert_array_equal(np.asarray(found), pk[pr] % 2 == 0)
+
+
+def test_hash_join_probe_cols_requires_sorted_output():
+    bk = np.arange(8, dtype=np.uint32)
+    with pytest.raises(ValueError, match="sorted_output"):
+        ex.hash_join(jnp.asarray(bk), jnp.asarray(bk.astype(np.int32)),
+                     jnp.asarray(bk), build_sorted=True,
+                     probe_cols=(jnp.asarray(bk),))

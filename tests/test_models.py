@@ -49,3 +49,27 @@ def test_star_query():
     exp = np.zeros(cats, np.uint32)
     np.add.at(exp, dim_cat[keys[keep]], values[keep])
     np.testing.assert_array_equal(np.asarray(table), exp)
+
+
+def test_rollup_query():
+    """Restore-free join->aggregate fusion pipeline: ONE probe sort total
+    (banded sorted_output + probe_cols + keys_sorted aggregate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cl_ops_tpu.models.pipeline import generate_table, rollup_query
+    n, dim_rows = 1 << 13, 1 << 9
+    gk, table, cnt = rollup_query(n, dim_rows=dim_rows, use_pallas=True)
+    gk0, t0, c0 = rollup_query(n, dim_rows=dim_rows, use_pallas=False)
+    assert int(cnt) == int(c0)
+    k = int(cnt)
+    np.testing.assert_array_equal(np.asarray(gk)[:k], np.asarray(gk0)[:k])
+    np.testing.assert_array_equal(np.asarray(table)[:k],
+                                  np.asarray(t0)[:k])
+    # oracle
+    keys, measures = generate_table(n, 0, key_space=2 * dim_rows)
+    keys, measures = np.asarray(keys), np.asarray(measures).astype(np.int64)
+    contrib = np.where(keys % 2 == 0, measures, 0)
+    expect = {int(u): int(contrib[keys == u].sum()) for u in np.unique(keys)}
+    got = {int(a): int(b) for a, b in
+           zip(np.asarray(gk)[:k], np.asarray(table)[:k])}
+    assert got == expect
