@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1,
                     help="divide all row counts by this (smoke testing)")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--configs", default="1,2,3,4,5,6",
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7",
                     help="comma list of config numbers to run (first "
                          "compiles through the tunneled helper are slow; "
                          "running one config per process keeps each run "
@@ -204,6 +204,34 @@ def main(argv=None):
                                                  n_vals=3)
              + bandprobe.band_pass_traffic_bytes(cap, 1, probe_rows=128)
              + 3 * 4 * cap)
+
+    if 7 in configs:
+        # 7. rollup: 16M-fact x 1M-dim join -> GROUP BY join key, the
+        # restore-free fusion (banded sorted_output + probe_cols +
+        # keys_sorted aggregate): ONE probe sort for the whole pipeline
+        from cl_ops_tpu.models.pipeline import rollup_query
+        n = (1 << 24) // sc
+        nd = max((1 << 20) // sc, 64)
+
+        def rq():
+            return rollup_query(n, dim_rows=nd, use_pallas=True)
+
+        # warm + sanity: count must match the A/B baseline the tests pin
+        gk, table, cnt = rq()
+        sync((gk, table, cnt))
+        import time as _t
+        t0 = _t.perf_counter()
+        for _ in range(runs):
+            out7 = rq()
+        sync(out7)
+        dt = (_t.perf_counter() - t0) / runs
+        from cl_ops_tpu.ops.exec import bandprobe
+        # probe sort (key + pos + 2 payload cols) + band pass + the
+        # aggregate's boundary-reduce passes (cumsum + ends compact)
+        bytes_moved = (psort.sort_traffic_bytes(n, 4)
+                       + bandprobe.band_pass_traffic_bytes(n, 1)
+                       + 6 * 4 * n + psort.sort_traffic_bytes(n, 1))
+        emit("rollup_16Mx1M", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
 
     # Merge with rows from earlier (per-config) runs: replace by metric.
     merged = {}
