@@ -18,7 +18,6 @@ kernel covering every step J < B. The `vmem` option (bytes) bounds B the way
 
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

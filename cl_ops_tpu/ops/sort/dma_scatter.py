@@ -37,7 +37,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cl_ops_tpu.ops.sort.bitonic_kernels import _gather_lanes
-from cl_ops_tpu.utils.bits import cdiv
 
 LANES = 128
 C_ROWS = 8                # chunk = C_ROWS x 128 elements

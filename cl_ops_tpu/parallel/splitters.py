@@ -186,7 +186,6 @@ def dist_sort_sample(x, mesh: Mesh, *, capacity_factor: float = 2.0,
     exceeds a bucket's capacity cannot be fixed by sampling; raise
     capacity_factor for those.)
     """
-    import numpy as np
     n_chips = mesh.shape[axis]
     n = x.shape[0]
     shard_len = n // n_chips
