@@ -959,3 +959,24 @@ def test_hash_join_probe_cols_requires_sorted_output():
         ex.hash_join(jnp.asarray(bk), jnp.asarray(bk.astype(np.int32)),
                      jnp.asarray(bk), build_sorted=True,
                      probe_cols=(jnp.asarray(bk),))
+
+
+def test_psort_col_encodings_roundtrip():
+    """cols_to_i32 / cols_from_i32 round-trip every supported width."""
+    from cl_ops_tpu.ops.exec import psort
+    rng = np.random.RandomState(93)
+    cols = (rng.randint(-100, 100, 256).astype(np.int32),
+            rng.randn(256).astype(np.float32),
+            rng.randint(0, 1 << 16, 256).astype(np.uint16),
+            rng.randint(0, 250, 256).astype(np.uint8),
+            rng.randint(0, 1 << 62, 256, dtype=np.int64).astype(np.uint64),
+            rng.randn(256))
+    jcols = tuple(jnp.asarray(c) for c in cols)
+    assert psort.cols_encodable(*jcols)
+    enc, spec = psort.cols_to_i32(jcols)
+    assert all(jnp.dtype(e.dtype) == jnp.int32 for e in enc)
+    dec = psort.cols_from_i32(enc, spec)
+    for d, c in zip(dec, cols):
+        np.testing.assert_array_equal(np.asarray(d), c)
+    assert not psort.cols_encodable(jnp.asarray(np.zeros(4, bool)))
+    assert not psort.cols_encodable(jnp.asarray(np.zeros(4, np.complex64)))
