@@ -470,3 +470,36 @@ def test_dist_hash_join_expand_truncation_reported(mesh8):
     totals = np.asarray(totals).reshape(8)
     assert totals.sum() == 64 * 64          # true total reported
     assert totals.max() > 128               # truncation visible per chip
+
+
+def test_keyed_exchange_replan_reuses_clean_sides(mesh8):
+    """Capacity-doubling rounds keep the plan fixed: sides that did not
+    overflow must NOT re-run their all_to_all shuffle."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel import splitters as sp
+    rng = np.random.default_rng(70)
+    n = 8 * 512
+    heavy = (rng.zipf(1.1, size=n) % 256).astype(np.uint32)  # overflows
+    light = np.arange(8 * 64, dtype=np.uint32)               # never does
+    calls = []
+    orig = sp.partition_exchange
+
+    def counting(data, pid, mesh, **kw):
+        calls.append(data.shape[0])
+        return orig(data, pid, mesh, **kw)
+
+    sp.partition_exchange = counting
+    try:
+        (lres, hres), caps = sp.keyed_exchange_replan(
+            [(jnp.asarray(light), ()), (jnp.asarray(heavy), ())], mesh8,
+            capacities=(len(light), (n // 8) // 8), max_replan=6,
+            samples_per_chip=16, splitter_side=1)
+    finally:
+        sp.partition_exchange = orig
+    # attempts: hash, range, resample = 3 plan versions -> light runs <= 3
+    # times; every further (caps-doubling) attempt re-runs ONLY heavy
+    light_calls = sum(1 for c in calls if c == len(light))
+    heavy_calls = sum(1 for c in calls if c == n)
+    assert light_calls <= 3, calls
+    assert heavy_calls >= light_calls
+    assert caps[0] == len(light)  # clean side's capacity untouched
