@@ -19,7 +19,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cl_ops_tpu.parallel.mesh import DATA_AXIS, put_sharded
-from cl_ops_tpu.parallel.splitters import keyed_exchange_replan
+from cl_ops_tpu.parallel.splitters import (keyed_exchange_once,
+                                           keyed_exchange_replan)
 from cl_ops_tpu.utils.bits import is_po2
 
 
@@ -27,7 +28,8 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
                          capacity: int, agg: str = "sum",
                          axis: str = DATA_AXIS, partition: str = "hash",
                          max_replan: int = 3, samples_per_chip: int = 256,
-                         use_pallas: bool | None = None):
+                         use_pallas: bool | None = None,
+                         check: str = "replan"):
     """Aggregate values by key across the mesh.
 
     num_groups bounds DISTINCT KEYS PER CHIP (local table capacity);
@@ -38,21 +40,35 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
     use_pallas: sort the local (validity, key, value) rows with the fused
     Pallas bitonic (psort) instead of lax.sort; needs 4-byte keys and
     values. Default: on TPU.
+    check: "replan" (default) or "defer" — same contract as dist_hash_join;
+      "defer" skips the host-synced overflow check (jit-traceable) and
+      appends the shuffle's per-chip `dropped` counter to the outputs for
+      the caller to verify asynchronously.
 
     Returns (group_keys, table, count) per chip, row-sharded: chip c's
     slice holds `count[c]` valid (key, aggregate) rows in ascending key
-    order; group sets are disjoint across chips.
+    order; group sets are disjoint across chips. With check="defer" a
+    trailing `dropped` element is appended.
     """
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
+    if check not in ("replan", "defer"):
+        raise ValueError(f"unknown check {check!r}")
     if use_pallas is None:
         from cl_ops_tpu.utils.platform import on_tpu
         use_pallas = on_tpu()
-    (res,), (cap,) = keyed_exchange_replan(
-        [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
-        partition=partition, max_replan=max_replan,
-        samples_per_chip=samples_per_chip, op_name="dist_group_aggregate")
+    if check == "defer":
+        (res,), (dropped,) = keyed_exchange_once(
+            [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
+            partition=partition, samples_per_chip=samples_per_chip)
+        cap = capacity
+    else:
+        (res,), (cap,) = keyed_exchange_replan(
+            [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
+            partition=partition, max_replan=max_replan,
+            samples_per_chip=samples_per_chip,
+            op_name="dist_group_aggregate")
     counts, k, v = res
 
     from cl_ops_tpu.ops.exec import psort
@@ -100,4 +116,5 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
-    return fn(*(put_sharded(a, mesh, axis) for a in (counts, k, v)))
+    out = fn(*(put_sharded(a, mesh, axis) for a in (counts, k, v)))
+    return out + (dropped,) if check == "defer" else out

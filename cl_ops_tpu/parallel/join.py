@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cl_ops_tpu.parallel.mesh import DATA_AXIS, iota_sharded, put_sharded
 from cl_ops_tpu.parallel.splitters import (hash_partition_ids,
+                                           keyed_exchange_once,
                                            keyed_exchange_replan)
 from cl_ops_tpu.utils.bits import is_po2
 
@@ -61,7 +62,7 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
                    axis: str = DATA_AXIS, unique_build: bool = True,
                    join_type: str = "inner", partition: str = "hash",
                    max_replan: int = 3, samples_per_chip: int = 256,
-                   use_pallas: bool | None = None):
+                   use_pallas: bool | None = None, check: str = "replan"):
     """Equi-join of row-sharded relations.
 
     capacity_* bound rows per (source chip -> partition) bucket in the two
@@ -76,6 +77,15 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     (requires the local table, n_chips * capacity_build rows after any
     re-plan, to fit bandprobe.DIRECT_MAX and 4-byte keys/values; larger
     tables fall back to the XLA searchsorted local join). Default: on TPU.
+    check: "replan" (default) validates the shuffles' overflow counters on
+      the host and adaptively re-plans — never loses rows, but costs one
+      blocking host read per side per attempt and cannot run under jax.jit.
+      "defer" runs ONE exchange under the given plan with no host sync and
+      appends the per-side per-chip `dropped` counters to the outputs —
+      fully traceable (jit/steady-state serving path); the CALLER must
+      verify the counters are zero for the result to be exact (plan
+      capacities beforehand, e.g. with a check="replan" call on
+      representative data).
 
     All outputs are row-sharded and aligned with probe_keys' original
     layout:
@@ -83,9 +93,13 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
       inner + not unique_build: (match_count, first_vals) — value of the
         first match in build-key order (bounded-output compromise)
       semi / anti:              the match / no-match mask alone
+    With check="defer" the tuple gains a trailing element
+    (dropped_build, dropped_probe).
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
+    if check not in ("replan", "defer"):
+        raise ValueError(f"unknown check {check!r}")
     if use_pallas is None:
         from cl_ops_tpu.utils.platform import on_tpu
         use_pallas = on_tpu()
@@ -98,12 +112,20 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     # 1+2. shuffle both sides by the same key partition, carrying build
     # values / global probe row ids; re-plan adaptively on overflow.
     gidx = iota_sharded(n_probe, mesh, axis)
-    (bres, pres), (cb, cp) = keyed_exchange_replan(
-        [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
-        capacities=(capacity_build, capacity_probe), axis=axis,
-        partition=partition, max_replan=max_replan,
-        samples_per_chip=samples_per_chip, splitter_side=1,
-        op_name="dist_hash_join")
+    if check == "defer":
+        (bres, pres), dropped = keyed_exchange_once(
+            [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+            capacities=(capacity_build, capacity_probe), axis=axis,
+            partition=partition, samples_per_chip=samples_per_chip,
+            splitter_side=1)
+        cb, cp = capacity_build, capacity_probe
+    else:
+        (bres, pres), (cb, cp) = keyed_exchange_replan(
+            [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+            capacities=(capacity_build, capacity_probe), axis=axis,
+            partition=partition, max_replan=max_replan,
+            samples_per_chip=samples_per_chip, splitter_side=1,
+            op_name="dist_hash_join")
     bcounts, bk, bv = bres
     pcounts, pk, pg = pres
 
@@ -218,19 +240,24 @@ def dist_hash_join(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     cnt, vals = fn(*(put_sharded(a, mesh, axis)
                      for a in (bcounts, bk, bv, pcounts, pk, pg)))
     if join_type == "semi":
-        return cnt > 0
-    if join_type == "anti":
-        return cnt == 0
-    if unique_build:
-        return cnt > 0, vals
-    return cnt, vals
+        out = (cnt > 0,)
+    elif join_type == "anti":
+        out = (cnt == 0,)
+    elif unique_build:
+        out = (cnt > 0, vals)
+    else:
+        out = (cnt, vals)
+    if check == "defer":
+        out = out + (dropped,)
+    return out[0] if len(out) == 1 else out
 
 
 def dist_hash_join_expand(build_keys, build_vals, probe_keys, mesh: Mesh, *,
                           capacity_build: int, capacity_probe: int,
                           capacity_out: int, axis: str = DATA_AXIS,
                           partition: str = "hash", max_replan: int = 3,
-                          samples_per_chip: int = 256):
+                          samples_per_chip: int = 256,
+                          check: str = "replan"):
     """Distributed FULL inner-join expansion: all matching pairs.
 
     The multi-chip `hash_join_expand`: both relations co-partition by key
@@ -246,18 +273,31 @@ def dist_hash_join_expand(build_keys, build_vals, probe_keys, mesh: Mesh, *,
     probe row, build value), ordered by (key, arrival order); rows beyond
     hold probe_rows == -1. totals[c] > capacity_out means that chip's
     output was truncated — re-run with a larger capacity_out.
+
+    check: "replan" (default) or "defer" — same contract as dist_hash_join;
+    "defer" is jit-traceable and appends (dropped_build, dropped_probe).
     """
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
+    if check not in ("replan", "defer"):
+        raise ValueError(f"unknown check {check!r}")
     n_probe = probe_keys.shape[0]
     gidx = iota_sharded(n_probe, mesh, axis)
-    (bres, pres), (cb, cp) = keyed_exchange_replan(
-        [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
-        capacities=(capacity_build, capacity_probe), axis=axis,
-        partition=partition, max_replan=max_replan,
-        samples_per_chip=samples_per_chip, splitter_side=1,
-        op_name="dist_hash_join_expand")
+    if check == "defer":
+        (bres, pres), dropped = keyed_exchange_once(
+            [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+            capacities=(capacity_build, capacity_probe), axis=axis,
+            partition=partition, samples_per_chip=samples_per_chip,
+            splitter_side=1)
+        cb, cp = capacity_build, capacity_probe
+    else:
+        (bres, pres), (cb, cp) = keyed_exchange_replan(
+            [(build_keys, (build_vals,)), (probe_keys, (gidx,))], mesh,
+            capacities=(capacity_build, capacity_probe), axis=axis,
+            partition=partition, max_replan=max_replan,
+            samples_per_chip=samples_per_chip, splitter_side=1,
+            op_name="dist_hash_join_expand")
     bcounts, bk, bv = bres
     pcounts, pk, pg = pres
 
@@ -305,5 +345,6 @@ def dist_hash_join_expand(build_keys, build_vals, probe_keys, mesh: Mesh, *,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
                    out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
-    return fn(*(put_sharded(a, mesh, axis)
-                for a in (bcounts, bk, bv, pcounts, pk, pg)))
+    out = fn(*(put_sharded(a, mesh, axis)
+               for a in (bcounts, bk, bv, pcounts, pk, pg)))
+    return out + (dropped,) if check == "defer" else out

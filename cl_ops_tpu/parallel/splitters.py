@@ -127,6 +127,46 @@ def keyed_exchange_replan(sides, mesh: Mesh, *, capacities,
             caps = [c * 2 if d else c for c, d in zip(caps, drops)]
 
 
+def keyed_exchange_once(sides, mesh: Mesh, *, capacities,
+                        axis: str = DATA_AXIS, partition: str = "hash",
+                        samples_per_chip: int = 256,
+                        splitter_side: int | None = None):
+    """Single-attempt keyed partition exchange — fully traceable.
+
+    The steady-state sibling of keyed_exchange_replan: one shuffle per side
+    under a fixed plan, NO host synchronization. The `dropped` counters come
+    back as device arrays (one per-chip count per side) for the caller to
+    check asynchronously — the right shape for jit-compiled serving
+    pipelines where a blocking host read per query is unaffordable and
+    capacities were already validated (e.g. by a planning call through
+    keyed_exchange_replan on representative data).
+
+    Returns (results, dropped): results[i] = (counts, out_keys, *out_cols)
+    in partition_exchange's bucket layout; dropped[i] is side i's per-chip
+    drop count (all zeros ⇔ the exchange was exact).
+    """
+    if partition not in ("hash", "range"):
+        raise ValueError(f"unknown partition {partition!r}")
+    n_chips = mesh.shape[axis]
+    if splitter_side is None:
+        splitter_side = max(range(len(sides)),
+                            key=lambda i: sides[i][0].shape[0])
+    if partition == "hash":
+        pids = [hash_partition_ids(k, n_chips) for k, _ in sides]
+    else:
+        spl = plan_splitters(sides[splitter_side][0], mesh,
+                             samples_per_chip=samples_per_chip, axis=axis)
+        pids = [jnp.searchsorted(spl, k).astype(jnp.int32)
+                for k, _ in sides]
+    results, drops = [], []
+    for (k, cols), pid, cap in zip(sides, pids, capacities):
+        counts, dropped, *outs = partition_exchange(
+            k, pid, mesh, capacity=cap, axis=axis, extra_cols=cols)
+        results.append((counts, *outs))
+        drops.append(dropped)
+    return results, tuple(drops)
+
+
 def plan_splitters(keys, mesh: Mesh, *, samples_per_chip: int = 256,
                    axis: str = DATA_AXIS):
     """Compute n_chips-1 equal-frequency splitters from a strided sample.

@@ -93,3 +93,21 @@ def test_bench_all_smoke(capsys, tmp_path, monkeypatch):
                        "join_probe_16Mx1M_sorted", "join_expand_16Mx4",
                        "rollup_16Mx1M"}
     assert (tmp_path / "BENCH_ALL.json").exists()
+
+
+def test_scaling_bench_cli(tmp_path):
+    from cl_ops_tpu.bench import scaling_bench
+    out = tmp_path / "scaling.tsv"
+    rc = scaling_bench.main(["--op", "scan,join", "--devices", "1,8",
+                             "-n", "10", "-r", "1", "--pallas", "0",
+                             "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].split("\t") == ["op", "devices", "rows", "mrows_s",
+                                    "speedup", "efficiency"]
+    assert len(lines) == 5  # header + 2 ops x 2 device counts
+    # weak scaling: the 8-device rows process 8x the rows (exactness of
+    # every op's output is asserted inside the bench's own check)
+    rows = [dict(zip(lines[0].split("\t"), l.split("\t"))) for l in lines[1:]]
+    for r in rows:
+        assert int(r["rows"]) == (1 << 10) * int(r["devices"])

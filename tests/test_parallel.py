@@ -503,3 +503,95 @@ def test_keyed_exchange_replan_reuses_clean_sides(mesh8):
     assert light_calls <= 3, calls
     assert heavy_calls >= light_calls
     assert caps[0] == len(light)  # clean side's capacity untouched
+
+
+def test_dist_hash_join_defer_jit(mesh8):
+    """check="defer" is jit-traceable, matches the replan path, and
+    returns all-zero dropped counters when capacities suffice."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    rng = np.random.RandomState(80)
+    nb = 8 * 64
+    bk = rng.permutation(nb).astype(np.int32)
+    bv = (bk * 2 + 1).astype(np.int32)
+    pk = rng.randint(0, 2 * nb, size=8 * 256).astype(np.int32)
+    fn = jax.jit(lambda b, v, p: dist_hash_join(
+        b, v, p, mesh8, capacity_build=nb, capacity_probe=len(pk),
+        use_pallas=False, check="defer"))
+    found, vals, dropped = fn(jnp.asarray(bk), jnp.asarray(bv),
+                              jnp.asarray(pk))
+    assert all(int(np.asarray(d).sum()) == 0 for d in dropped)
+    expect = pk < nb
+    np.testing.assert_array_equal(np.asarray(found), expect)
+    np.testing.assert_array_equal(np.asarray(vals)[expect],
+                                  pk[expect] * 2 + 1)
+
+
+def test_dist_hash_join_defer_reports_overflow(mesh8):
+    """Undersized capacities must surface in the deferred counters —
+    never raise, never silently pass."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    pk = np.zeros(8 * 64, np.int32)  # every probe row -> one partition
+    out = dist_hash_join(
+        jnp.asarray(np.arange(8 * 8, dtype=np.int32)),
+        jnp.asarray(np.zeros(8 * 8, np.int32)), jnp.asarray(pk), mesh8,
+        capacity_build=64, capacity_probe=4, use_pallas=False,
+        check="defer")
+    dropped = out[-1]
+    assert int(np.asarray(dropped[1]).sum()) > 0
+
+
+def test_dist_group_aggregate_defer_jit(mesh8):
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    rng = np.random.RandomState(81)
+    n = 8 * 512
+    keys = rng.randint(0, 100, size=n).astype(np.int32)
+    vals = rng.randint(0, 50, size=n).astype(np.int32)
+    fn = jax.jit(lambda k, v: dist_group_aggregate(
+        k, v, mesh8, num_groups=256, capacity=n, agg="sum",
+        use_pallas=False, check="defer"))
+    gk, table, cnt, dropped = fn(jnp.asarray(keys), jnp.asarray(vals))
+    assert int(np.asarray(dropped).sum()) == 0
+    got = {}
+    gk, table, cnt = np.asarray(gk), np.asarray(table), np.asarray(cnt)
+    per = len(gk) // 8
+    for c in range(8):
+        for i in range(int(cnt[c])):
+            got[int(gk[c * per + i])] = int(table[c * per + i])
+    expect = {int(k): int(vals[keys == k].sum()) for k in np.unique(keys)}
+    assert got == expect
+
+
+def test_dist_hash_join_expand_defer(mesh8):
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.join import dist_hash_join_expand
+    rng = np.random.RandomState(82)
+    nb = 8 * 32
+    bk = np.repeat(np.arange(nb // 2, dtype=np.int32), 2)  # 2 dups/key
+    bv = np.arange(nb, dtype=np.int32)
+    pk = rng.randint(0, nb // 2, size=8 * 64).astype(np.int32)
+    args = (jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk))
+    kw = dict(capacity_build=nb, capacity_probe=len(pk), capacity_out=1024)
+    t1, p1, v1 = dist_hash_join_expand(*args, mesh8, **kw)
+    fn = jax.jit(lambda b, v, p: dist_hash_join_expand(
+        b, v, p, mesh8, **kw, check="defer"))
+    t2, p2, v2, dropped = fn(*args)
+    assert all(int(np.asarray(d).sum()) == 0 for d in dropped)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_dist_join_bad_check_rejected(mesh8):
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+    from cl_ops_tpu.parallel.join import dist_hash_join
+    a = jnp.asarray(np.zeros(8, np.int32))
+    with pytest.raises(ValueError):
+        dist_hash_join(a, a, a, mesh8, capacity_build=8, capacity_probe=8,
+                       check="nope")
+    with pytest.raises(ValueError):
+        dist_group_aggregate(a, a, mesh8, num_groups=8, capacity=8,
+                             check="nope")
