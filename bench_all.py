@@ -216,15 +216,13 @@ def main(argv=None):
         def rq():
             return rollup_query(n, dim_rows=nd, use_pallas=True)
 
-        # warm + sanity: count must match the A/B baseline the tests pin
+        # sanity: group count and measure total must match the XLA A/B
+        # baseline (full-output equality is the test suite's job)
         gk, table, cnt = rq()
-        sync((gk, table, cnt))
-        import time as _t
-        t0 = _t.perf_counter()
-        for _ in range(runs):
-            out7 = rq()
-        sync(out7)
-        dt = (_t.perf_counter() - t0) / runs
+        gk0, table0, cnt0 = rollup_query(n, dim_rows=nd, use_pallas=False)
+        assert int(cnt) == int(cnt0), (int(cnt), int(cnt0))
+        assert int(table.sum()) == int(table0.sum())
+        dt = _timed(rq, (), runs, sync)
         from cl_ops_tpu.ops.exec import bandprobe
         # probe sort (key + pos + 2 payload cols) + band pass + the
         # aggregate's boundary-reduce passes (cumsum + ends compact)

@@ -138,17 +138,15 @@ def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
     measures = measures.astype(jnp.int32)
     dim_keys = jax.lax.broadcasted_iota(jnp.uint32, (dim_rows,), 0) * 2
     dim_vals = jax.lax.broadcasted_iota(jnp.int32, (dim_rows,), 0)
-    # banded pinned (not auto): both the banded strategy and its pallas
-    # merge fallback emit key-sorted rows; the direct strategy would keep
-    # original order and invalidate keys_sorted below
+    # sorted_output guarantees key-grouped rows on every strategy (incl.
+    # the band-overflow merge fallback and the XLA A/B baseline), so the
+    # aggregate can always skip its input sort
     found, _, _, (m_s, k_s) = jn.hash_join(
         dim_keys, dim_vals, keys, build_sorted=True,
         use_pallas=use_pallas, sorted_output=True,
         probe_impl="banded" if use_pallas else "merge",
         probe_cols=(measures, keys))
     contrib = jnp.where(found, m_s, jnp.int32(0))
-    # use_pallas=False (the A/B baseline) comes back in ORIGINAL order
-    # (XLA merge path), so the aggregate must sort its input there
     return agg.group_aggregate_sorted(
         k_s, contrib, num_groups=2 * dim_rows, agg="sum",
-        keys_sorted=use_pallas, use_pallas=use_pallas)
+        keys_sorted=True, use_pallas=use_pallas)

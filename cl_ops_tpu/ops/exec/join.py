@@ -155,18 +155,20 @@ def _merge_rank(build_limbs, build_vcols, probe_limbs,
         skey3, rc = out[0], out[1]
         return (rc, (skey3 & 1) > 0, tuple(out[2:2 + nv]),
                 tuple(out[2 + nv:]), None)
-    rc, eq, rvp, rvn = _merge_rank_xla(tuple(build_limbs),
-                                       tuple(build_vcols),
-                                       tuple(probe_limbs))
-    if sorted_output:
-        return rc, eq, rvp, rvn, jnp.arange(m, dtype=jnp.int32)
-    return rc, eq, rvp, rvn, None
+    return _merge_rank_xla(tuple(build_limbs), tuple(build_vcols),
+                           tuple(probe_limbs), sorted_output=sorted_output)
 
 
-@jax.jit
-def _merge_rank_xla(build_limbs, build_vcols, probe_limbs):
+@functools.partial(jax.jit, static_argnames=("sorted_output",))
+def _merge_rank_xla(build_limbs, build_vcols, probe_limbs,
+                    sorted_output: bool = False):
     """lax.sort fallback: one merged sort of the concatenation with dims
-    tagged before equal probes, probe rows compacted to the front."""
+    tagged before equal probes, probe rows compacted to the front.
+
+    Returns (counts, eq, val_prev, val_next, spos): original probe order
+    with spos=None, or — with sorted_output — probe-key-sorted order
+    (skipping the restore sort) with spos = original probe row per output
+    row, matching the Pallas merge path's sorted_output contract."""
     nl = len(build_limbs)
     nb = build_limbs[0].shape[0]
     m = probe_limbs[0].shape[0]
@@ -195,20 +197,24 @@ def _merge_rank_xla(build_limbs, build_vcols, probe_limbs):
     for bl, sl in zip(build_limbs, s_limbs):
         eq = eq & (jnp.take(bl, idx) == jnp.take(sl, probe_pos))
     nv = len(val_prev)
+    if sorted_output:
+        # rows are already grouped by probe key; probe_src maps each
+        # output row to its original probe row — no restore sort needed
+        return counts, eq, val_prev, val_next, probe_src
     if 2 * m < _PACK_MAX:
         # back to original probe order; eq rides the low bit of the key
         key3 = probe_src * 2 + eq.astype(jnp.int32)
         out = jax.lax.sort([key3, counts, *val_prev, *val_next],
                            num_keys=1)
         return (out[1], (out[0] & 1) > 0, tuple(out[2:2 + nv]),
-                tuple(out[2 + nv:]))
+                tuple(out[2 + nv:]), None)
     # two-limb restore past the packed-key limit: probe_src is unique,
     # so eq rides as an inert column (m can reach 2^31)
     out = jax.lax.sort(
         [probe_src, eq.astype(jnp.int32), counts, *val_prev, *val_next],
         num_keys=1)
     return (out[2], out[1] > 0, tuple(out[3:3 + nv]),
-            tuple(out[3 + nv:]))
+            tuple(out[3 + nv:]), None)
 
 
 def _limbs_minus_one(limbs):
@@ -258,7 +264,8 @@ def _val_from_cols(cols, dtype):
     return jax.lax.bitcast_convert_type(jnp.stack(tuple(cols), axis=-1), dt)
 
 
-def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
+def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str,
+                    sorted_output: bool = False) -> str:
     """Resolve "auto" to the concrete probe strategy for this build size."""
     from cl_ops_tpu.ops.exec import bandprobe
     if probe_impl not in ("auto", "direct", "banded", "merge"):
@@ -270,12 +277,20 @@ def _probe_strategy(nb: int, use_pallas: bool, probe_impl: str) -> str:
         raise ValueError(
             f"probe_impl={probe_impl!r} requires the Pallas path "
             "(use_pallas=True and 4- or 8-byte int/float build values)")
+    if probe_impl == "direct" and sorted_output:
+        # direct keeps original probe order; sorted_output promises
+        # key-grouped rows — there is no cheap way to honor both
+        raise ValueError("probe_impl='direct' keeps original probe order "
+                         "and cannot honor sorted_output=True; use "
+                         "'banded', 'merge', or auto")
     if probe_impl == "direct" and nb > bandprobe.DIRECT_MAX:
         raise ValueError("build side too large for probe_impl='direct'")
     if probe_impl != "auto":
         return probe_impl
     if not use_pallas:
         return "merge"
+    if sorted_output:  # direct would keep original (ungrouped) order
+        return "banded"
     return "direct" if nb <= bandprobe.DIRECT_MAX else "banded"
 
 
@@ -341,18 +356,18 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
     no restore sort. Larger builds sort the probes, band-probe them, and
     restore with one 2-column sort (bandprobe.py); band overflow (extreme
     skew) and use_pallas=False fall back to the merge-structured probe.
-    sorted_output skips every restore sort: outputs stay in the probe
-    order the strategy produced and spos maps output rows to original
-    probe rows (None means original order already). Pallas pipelines are
-    staged into separate jit modules (see _jit_sort_cols); limb/bitcast
-    glue runs via tiny jits.
+    sorted_output skips the restore sorts: outputs arrive grouped in
+    ascending probe-key order (every strategy — _probe_strategy excludes
+    "direct") and spos maps output rows to original probe rows. Pallas
+    pipelines are staged into separate jit modules (see _jit_sort_cols);
+    limb/bitcast glue runs via tiny jits.
     """
     bl = _jit_limbs(build_keys_sorted)
     plimbs = _jit_limbs(probe_keys)
     vcols = _jit_val_cols(build_vals_sorted)
     vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
-                            probe_impl)
+                            probe_impl, sorted_output)
     if strat == "direct":
         from cl_ops_tpu.ops.exec import bandprobe
         from cl_ops_tpu.utils.platform import pallas_interpret
@@ -405,7 +420,7 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
     vcols = _jit_val_cols(build_vals_sorted)
     vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
-                            probe_impl)
+                            probe_impl, sorted_output)
 
     def first_match_fix(is_min, vn_cols):
         # minimum-key probes: the lb pass's val_next points past the
@@ -450,7 +465,7 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
     # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
     # by key-1, and those orders can interleave differently where min and
     # min+1 keys coexist (key-1 ties them) — so sorted_output cannot skip
-    # the restores here; compute in original order (spos None = identity).
+    # the restores here; compute in original order first.
     ub, _, _, _, _ = _merge_rank(bl, vcols, plimbs,
                                  use_pallas=use_pallas)
     pm1, is_min = _jit_limbs_minus_one(plimbs)
@@ -458,8 +473,17 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                                    use_pallas=use_pallas)
     lb = jnp.where(is_min, 0, lb)
     count = ub - lb
-    return (count, _val_from_cols(first_match_fix(is_min, vns), vdt),
-            None, None)
+    val_cols = first_match_fix(is_min, vns)
+    if sorted_output:
+        # honor the grouped-output contract with one key sort ((limbs,
+        # pos) is a total order, so the grouping is deterministic)
+        m = plimbs[0].shape[0]
+        pos = jnp.arange(m, dtype=jnp.int32)
+        out = _jit_sort_cols((*plimbs, pos, count, *val_cols))
+        nl = len(plimbs)
+        return (out[nl + 1], _val_from_cols(out[nl + 2:], vdt),
+                out[nl], None)
+    return count, _val_from_cols(val_cols, vdt), None, None
 
 
 @functools.lru_cache(maxsize=None)
@@ -493,14 +517,15 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         band probe otherwise, merge fallback on band overflow) |
         "direct" | "banded" | "merge". "direct"/"banded" require the
         Pallas path (use_pallas=True and 4-byte build values).
-      sorted_output: return a THIRD element `probe_rows` and skip every
-        restore sort — output rows come back in whatever order the probe
-        strategy produced (probe-key-sorted on the banded/merge Pallas
-        paths, original elsewhere) and probe_rows[i] is the original
-        probe row of output row i. The banded 16Mx1M pipeline spends
-        about a third of its time restoring original order; consumers
-        that re-sort anyway (aggregates) or carry several probe columns
-        should pass True.
+      sorted_output: return a THIRD element `probe_rows` and skip the
+        restore sorts — output rows come back GROUPED IN ASCENDING
+        PROBE-KEY ORDER on every strategy (auto avoids "direct", which
+        keeps original order and is rejected if pinned explicitly;
+        aggregate consumers may rely on keys_sorted=True downstream) and
+        probe_rows[i] is the original probe row of output row i. The
+        banded 16Mx1M pipeline spends about a third of its time
+        restoring original order; consumers that re-sort anyway
+        (aggregates) or carry several probe columns should pass True.
       probe_cols: extra probe-side payload columns (fact measures etc.),
         returned reordered to match the output rows (requires
         sorted_output). On the banded strategy they ride the probe sort
@@ -521,8 +546,8 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
       semi: bool mask of probes with >= 1 match.
       anti: bool mask of probes with no match.
       With sorted_output=True every form gains a trailing `probe_rows`
-      array (the original probe row per output row) and rows arrive in
-      strategy order instead of probe order; with probe_cols the
+      array (the original probe row per output row) and rows arrive
+      grouped in ascending probe-key order; with probe_cols the
       reordered payload columns follow as one trailing tuple.
     """
     if join_type not in ("inner", "semi", "anti"):
@@ -552,8 +577,9 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
             probe_impl=probe_impl, sorted_output=sorted_output,
             probe_cols_enc=pc_enc)
         found = count > 0
-    if sorted_output and spos is None:  # strategy kept original order
-        spos = jnp.arange(probe_keys.shape[0], dtype=jnp.int32)
+    # every sorted_output strategy returns a real probe-row map (direct,
+    # which keeps original order, is excluded by _probe_strategy)
+    assert spos is not None or not sorted_output
     out_cols = ()
     if probe_cols:
         if scols is None:  # strategy did not carry them: one gather each

@@ -328,11 +328,13 @@ def dist_hash_join_expand(build_keys, build_vals, probe_keys, mesh: Mesh, *,
         pos_b = jax.lax.broadcasted_iota(jnp.int32, skey.shape, 0)
         skey = jnp.where(pos_b < nv, skey, maxk)
 
-        # probes sorted by (validity, key), carrying global row ids
+        # probes sorted by (validity, key, global row id) — the row id is
+        # a KEY so equal-key output order is the documented arrival order,
+        # deterministic across backends
         inv_p = jnp.logical_not(valid_p).astype(jnp.int32)
         _, spk, sg, svalid_i = jax.lax.sort(
             [inv_p, pkl.reshape(-1), pgl.reshape(-1),
-             valid_p.astype(jnp.int32)], num_keys=2)
+             valid_p.astype(jnp.int32)], num_keys=3)
         ub = jnp.minimum(jnp.searchsorted(
             skey, spk, side="right").astype(jnp.int32), nv)
         lb = jnp.minimum(jnp.searchsorted(

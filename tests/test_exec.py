@@ -662,6 +662,8 @@ def test_hash_join_sorted_output(unique_build):
         fs, vs, pr = (np.asarray(out[0]), np.asarray(out[1]),
                       np.asarray(out[2]))
         assert sorted(pr) == list(range(m)), impl
+        # the contract: output rows grouped in ascending probe-key order
+        assert np.all(np.diff(pk[pr].astype(np.int64)) >= 0), impl
         f1 = np.empty_like(f0)
         v1 = np.empty_like(v0)
         f1[pr] = fs
@@ -671,17 +673,28 @@ def test_hash_join_sorted_output(unique_build):
         np.testing.assert_array_equal(v1[hit], v0[hit], err_msg=impl)
 
 
-def test_hash_join_sorted_output_semi_anti_and_direct():
+def test_hash_join_sorted_output_semi_anti_and_small_build():
+    """Small build sides must NOT auto-route sorted_output through the
+    direct strategy (original order would silently break the grouped-
+    output contract consumers like keys_sorted aggregates rely on)."""
     rng = np.random.RandomState(61)
-    nb = 1 << 10  # small build: direct strategy, original order + iota
+    nb = 1 << 10  # <= DIRECT_MAX: auto picks banded anyway under sorted
     bk = np.arange(nb, dtype=np.uint32) * 2
     bv = np.arange(nb, dtype=np.int32)
     pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
     found, vals, pr = ex.hash_join(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
         build_sorted=True, use_pallas=True, sorted_output=True)
-    np.testing.assert_array_equal(np.asarray(pr), np.arange(len(pk)))
-    np.testing.assert_array_equal(np.asarray(found), pk % 2 == 0)
+    pr = np.asarray(pr)
+    assert np.all(np.diff(pk[pr].astype(np.int64)) >= 0)  # grouped
+    f = np.empty(len(pk), bool)
+    f[pr] = np.asarray(found)
+    np.testing.assert_array_equal(f, pk % 2 == 0)
+    # pinning the original-order impl under sorted_output is an error
+    with pytest.raises(ValueError, match="direct"):
+        ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                     build_sorted=True, use_pallas=True,
+                     sorted_output=True, probe_impl="direct")
     semi, pr2 = ex.hash_join(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
         build_sorted=True, use_pallas=True, sorted_output=True,
@@ -696,6 +709,65 @@ def test_hash_join_sorted_output_semi_anti_and_direct():
     a = np.empty(len(pk), bool)
     a[np.asarray(pr3)] = np.asarray(anti)
     np.testing.assert_array_equal(a, pk % 2 == 1)
+
+
+@pytest.mark.parametrize("unique_build", [True, False])
+def test_hash_join_sorted_output_grouped_on_xla_merge(unique_build):
+    """The XLA merge path (use_pallas=False — also what the >= 2^29-row
+    _PACK_MAX demotion lands on) must honor the grouped-output contract
+    with a REAL probe-row map, not original order + iota (r3 review:
+    keys_sorted consumers got silently wrong sums on this path)."""
+    rng = np.random.RandomState(62)
+    nb = 1 << 10
+    if unique_build:
+        bk = np.arange(nb, dtype=np.uint32) * 2
+    else:
+        bk = np.sort(rng.randint(0, nb, size=nb).astype(np.uint32))
+    bv = np.arange(nb, dtype=np.int32) + 5
+    pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
+    out = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                       build_sorted=True, unique_build=unique_build,
+                       use_pallas=False, sorted_output=True)
+    ref = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                       build_sorted=True, unique_build=unique_build,
+                       use_pallas=False)
+    fs, vs, pr = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])
+    assert sorted(pr) == list(range(len(pk)))
+    assert np.all(np.diff(pk[pr].astype(np.int64)) >= 0)  # grouped
+    f0, v0 = np.asarray(ref[0]), np.asarray(ref[1])
+    f1 = np.empty_like(f0)
+    v1 = np.empty_like(v0)
+    f1[pr] = fs
+    v1[pr] = vs
+    np.testing.assert_array_equal(f1, f0)
+    hit = f0 > 0
+    np.testing.assert_array_equal(v1[hit], v0[hit])
+
+
+def test_sorted_output_keys_sorted_composition_small_dim():
+    """The userguide's restore-free join->aggregate composition must be
+    exact with a small (<= DIRECT_MAX) dimension side and default
+    probe_impl — the r3 review's reproduced silent-wrong-sums case."""
+    rng = np.random.RandomState(63)
+    nb = 64
+    dim_keys = np.arange(nb, dtype=np.uint32) * 2
+    dim_vals = np.arange(nb, dtype=np.int32)
+    pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
+    measure = rng.randint(0, 100, size=4096).astype(np.int32)
+    found, _, rows, (m_s, k_s) = ex.hash_join(
+        jnp.asarray(dim_keys), jnp.asarray(dim_vals), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, sorted_output=True,
+        probe_cols=(jnp.asarray(measure), jnp.asarray(pk)))
+    contrib = jnp.where(found, m_s, jnp.int32(0))
+    gk, sums, cnt = ex.group_aggregate_sorted(
+        k_s, contrib, num_groups=2 * nb, keys_sorted=True,
+        use_pallas=True)
+    got = {int(k): int(s) for k, s in
+           zip(np.asarray(gk)[:int(cnt)], np.asarray(sums)[:int(cnt)])}
+    expect = {int(k): int(measure[(pk == k)].sum()) if k % 2 == 0 else 0
+              for k in np.unique(pk)}
+    assert int(cnt) == len(expect)
+    assert got == expect
 
 
 def test_hash_join_expand_sparse_gather_fallback():
@@ -930,10 +1002,12 @@ def test_dist_group_aggregate_pallas_minmax_float():
                                        rtol=1e-6, err_msg=agg)
 
 
-@pytest.mark.parametrize("impl", ["direct", "banded", "merge"])
+@pytest.mark.parametrize("impl", ["banded", "merge"])
 def test_hash_join_probe_cols(impl):
     """probe_cols ride the join to output order: the fact-measure channel
-    for join -> aggregate without per-column random gathers."""
+    for join -> aggregate without per-column random gathers. ("direct"
+    is excluded by API: probe_cols requires sorted_output, which rejects
+    the original-order direct strategy.)"""
     rng = np.random.RandomState(92)
     nb = (1 << 15) if impl == "banded" else 512
     bk = np.arange(nb, dtype=np.uint32) * 2
