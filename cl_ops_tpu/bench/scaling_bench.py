@@ -27,6 +27,16 @@ image, run with virtual devices to validate the sweep mechanics:
 
 On a real pod slice, omit --virtual and the mesh prefixes real chips
 (ICI/DCN collectives ride the hardware fabric).
+
+`--multiproc P` adds the N-HOST leg of the north-star sweep (1 chip /
+1 host / N hosts): the bench re-launches itself as P jax.distributed
+worker processes (P simulated hosts x --virtual devices each, Gloo as
+the DCN stand-in — parallel/multiproc.py), measures every operator over
+the process-spanning global mesh at 1 and P hosts, and reports rows/s
+plus weak-scaling efficiency per host:
+
+  python -m cl_ops_tpu.bench.scaling_bench --multiproc 2 --virtual 4 \\
+      --op scan,join -n 16 -r 3
 """
 
 from __future__ import annotations
@@ -59,6 +69,14 @@ def build_parser():
                    help="simulate N CPU devices (sets "
                         "xla_force_host_platform_device_count; must be the "
                         "first jax use in the process)")
+    p.add_argument("--multiproc", type=int, default=0,
+                   help="N-host leg: spawn P jax.distributed worker "
+                        "processes (--virtual devices each, default 4) and "
+                        "measure 1 vs P hosts over the global mesh")
+    p.add_argument("--mp-worker", type=int, default=None,
+                   help=argparse.SUPPRESS)  # internal: worker process id
+    p.add_argument("--mp-port", type=int, default=0,
+                   help=argparse.SUPPRESS)  # internal: coordinator port
     p.add_argument("-s", "--rng-seed", type=int, default=0)
     p.add_argument("--no-check", action="store_true")
     p.add_argument("-o", "--out", default=None, help="TSV output path")
@@ -75,8 +93,184 @@ def _device_counts(arg: str, available: int) -> list[int]:
     return counts
 
 
+def _mp_parent(args) -> int:
+    """Spawn the 1-host and P-host legs; report weak-scaling efficiency.
+
+    Each leg runs `nproc` jax.distributed worker processes of this same
+    CLI (Gloo coordinator on localhost); worker 0 prints one MPROW line
+    per operator with the measured seconds over the global mesh."""
+    import subprocess
+    from cl_ops_tpu.bench import common
+    dev_per_proc = args.virtual or 4
+    ops = [o.strip() for o in args.op.split(",") if o.strip()]
+    rows = []
+    base = {}  # op -> (rate, nproc)
+    for nproc in sorted({1, args.multiproc}):
+        port = 23000 + (os.getpid() * 7 + nproc) % 9000
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            " --xla_force_host_platform_device_count="
+                            f"{dev_per_proc}")
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        cmd = [sys.executable, "-m", "cl_ops_tpu.bench.scaling_bench",
+               "--multiproc", str(nproc), "--mp-port", str(port),
+               "--op", args.op, "-n", str(args.log2_rows),
+               "-r", str(args.runs), "-s", str(args.rng_seed),
+               "--scaling", args.scaling, "--groups", str(args.groups),
+               "--build-frac", str(args.build_frac),
+               "--pallas", args.pallas]
+        if args.no_check:
+            cmd.append("--no-check")
+        procs = [subprocess.Popen(cmd + ["--mp-worker", str(pid)],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True,
+                                  env=env) for pid in range(nproc)]
+        outs = []
+        try:
+            for p in procs:
+                outs.append(p.communicate(timeout=1200)[0])
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                print(f"worker {pid}/{nproc} failed:\n{out[-4000:]}",
+                      file=sys.stderr)
+                return 1
+        for line in outs[0].splitlines():
+            if not line.startswith("MPROW\t"):
+                continue
+            _, op, n_s, secs_s = line.split("\t")
+            n, secs = int(n_s), float(secs_s)
+            rate = common.throughput_m(n, args.runs, secs)
+            b_rate, b_np = base.setdefault(op, (rate, nproc))
+            per_host = (rate / nproc) / (b_rate / b_np)
+            eff = per_host if args.scaling == "weak" else \
+                (rate / b_rate) / (nproc / b_np)
+            row = dict(op=op, hosts=nproc,
+                       devices=nproc * dev_per_proc, rows=n,
+                       mrows_s=round(rate, 1),
+                       speedup=round(rate / b_rate, 3),
+                       efficiency=round(eff, 3))
+            rows.append(row)
+            print("\t".join(f"{c}={v}" for c, v in row.items()),
+                  flush=True)
+    if args.out:
+        common.write_tsv(args.out, rows)
+    return 0
+
+
+def _mp_worker(args) -> int:
+    """One simulated host: join the process group, run the sweep ops over
+    the DCN-spanning global mesh, print timings from worker 0."""
+    from cl_ops_tpu.parallel import multiproc
+    multiproc.init_process(args.mp_worker, args.multiproc,
+                           coordinator=f"localhost:{args.mp_port}")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cl_ops_tpu.bench import common
+    from cl_ops_tpu.parallel import (dist_group_aggregate, dist_hash_join,
+                                     dist_scan, dist_sort)
+    from cl_ops_tpu.parallel.mesh import replicated_sum_int
+
+    pid, nproc = args.mp_worker, args.multiproc
+    mesh = multiproc.global_mesh()
+    k = mesh.shape["data"]
+    use_pallas = {"auto": None, "0": False, "1": True}[args.pallas]
+    ops = [o.strip() for o in args.op.split(",") if o.strip()]
+    rng = np.random.RandomState(args.rng_seed)
+    rows_base = 1 << args.log2_rows
+    n = rows_base * k if args.scaling == "weak" else rows_base
+    lo, hi = pid * (n // nproc), (pid + 1) * (n // nproc)
+
+    def cap_for(rows_shard: int) -> int:
+        return max(2 * rows_shard // k + 64, 128)
+
+    def local(full):
+        return multiproc.from_process_local(full[lo:hi], mesh)
+
+    for op in ops:
+        if op == "scan":
+            x = rng.randint(0, 128, size=n, dtype=np.uint32)
+            gx = local(x)
+            fn = jax.jit(lambda a: dist_scan(a, mesh, sum_dtype=jnp.uint32,
+                                             use_pallas=use_pallas))
+            fargs = (gx,)
+
+            def check(out, x=x):
+                xs = x.astype(np.uint64)
+                ref = ((np.cumsum(xs) - xs) & 0xFFFFFFFF).astype(
+                    np.uint32)[lo:hi]
+                assert np.array_equal(multiproc.local_rows(out), ref)
+        elif op == "sort":
+            x = common.rand_array(np.uint32, n, args.rng_seed)
+            gx = local(x)
+            fn = jax.jit(lambda a: dist_sort(a, mesh,
+                                             use_pallas=use_pallas))
+            fargs = (gx,)
+
+            def check(out, x=x):
+                assert np.array_equal(multiproc.local_rows(out),
+                                      np.sort(x)[lo:hi])
+        elif op == "aggregate":
+            keys = rng.randint(0, args.groups, size=n).astype(np.int32)
+            vals = np.ones(n, np.int32)
+            per_chip_groups = min(args.groups, 2 * args.groups // k + 256)
+            fn = jax.jit(lambda a, b: dist_group_aggregate(
+                a, b, mesh, num_groups=per_chip_groups,
+                capacity=cap_for(n // k), use_pallas=use_pallas,
+                check="defer"))
+            fargs = (local(keys), local(vals))
+
+            def check(out, keys=keys):
+                _, table, cnt, dropped = out
+                assert replicated_sum_int(dropped, mesh) == 0
+                assert replicated_sum_int(cnt, mesh) == len(
+                    np.unique(keys))
+        elif op == "join":
+            nb = max(n // args.build_frac, k)
+            nb -= nb % k
+            bk = rng.permutation(nb).astype(np.int32)
+            pk = rng.randint(0, nb, size=n).astype(np.int32)
+            blo, bhi = pid * (nb // nproc), (pid + 1) * (nb // nproc)
+            gb = multiproc.from_process_local(bk[blo:bhi], mesh)
+            gv = multiproc.from_process_local(
+                (bk[blo:bhi] * 2 + 1).astype(np.int32), mesh)
+            fn = jax.jit(lambda b, v, p: dist_hash_join(
+                b, v, p, mesh, capacity_build=cap_for(nb // k),
+                capacity_probe=cap_for(n // k), use_pallas=use_pallas,
+                check="defer"))
+            fargs = (gb, gv, local(pk))
+
+            def check(out, pk=pk):
+                found, vals_o, dropped = out
+                assert all(replicated_sum_int(d, mesh) == 0
+                           for d in dropped)
+                fl = multiproc.local_rows(found)
+                assert bool(fl.all()), "join missed rows"
+                assert np.array_equal(multiproc.local_rows(vals_o),
+                                      pk[lo:hi] * 2 + 1)
+        else:
+            raise SystemExit(f"unknown op {op!r}")
+        secs = common.time_async(fn, fargs, args.runs,
+                                 lambda out: jax.block_until_ready(out))
+        if not args.no_check:
+            check(fn(*fargs))
+        if pid == 0:
+            print(f"MPROW\t{op}\t{n}\t{secs}", flush=True)
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.mp_worker is not None:
+        return _mp_worker(args)
+    if args.multiproc:
+        return _mp_parent(args)
     if args.virtual:
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
@@ -97,8 +291,11 @@ def main(argv=None):
     ops = [o.strip() for o in args.op.split(",") if o.strip()]
     avail = len(jax.devices())
     counts = _device_counts(args.devices, avail)
-    if counts[-1] > avail:
-        print(f"only {avail} devices available; need {counts[-1]}",
+    if not counts or max(counts) > avail:
+        # make_mesh would silently truncate an oversized request,
+        # mislabeling every row and corrupting the efficiency column
+        need = max(counts) if counts else "a device count"
+        print(f"only {avail} devices available; need {need}",
               file=sys.stderr)
         return 1
     sync = common.default_sync()

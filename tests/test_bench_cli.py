@@ -111,3 +111,32 @@ def test_scaling_bench_cli(tmp_path):
     rows = [dict(zip(lines[0].split("\t"), l.split("\t"))) for l in lines[1:]]
     for r in rows:
         assert int(r["rows"]) == (1 << 10) * int(r["devices"])
+
+
+def test_scaling_bench_rejects_oversized_device_request(tmp_path):
+    from cl_ops_tpu.bench import scaling_bench
+    # 16 is not last in the list: make_mesh would silently truncate it
+    rc = scaling_bench.main(["--op", "scan", "--devices", "16,8",
+                             "-n", "8", "-r", "1", "--pallas", "0"])
+    assert rc == 1
+
+
+def test_scaling_bench_multiproc(tmp_path):
+    """The N-host leg: 2 jax.distributed worker processes x 2 CPU devices
+    (DCN simulation), measured at 1 and 2 hosts with exactness checks
+    inside each worker."""
+    from cl_ops_tpu.bench import scaling_bench
+    out = tmp_path / "mp.tsv"
+    rc = scaling_bench.main(["--multiproc", "2", "--virtual", "2",
+                             "--op", "scan,join", "-n", "8", "-r", "1",
+                             "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].split("\t") == ["op", "hosts", "devices", "rows",
+                                    "mrows_s", "speedup", "efficiency"]
+    rows = [dict(zip(lines[0].split("\t"), l.split("\t")))
+            for l in lines[1:]]
+    assert {(r["op"], r["hosts"]) for r in rows} == {
+        ("scan", "1"), ("scan", "2"), ("join", "1"), ("join", "2")}
+    for r in rows:  # weak scaling: rows grow with the global mesh
+        assert int(r["rows"]) == (1 << 8) * 2 * int(r["hosts"])
