@@ -124,9 +124,10 @@ def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
     the probe sort as payload columns, and the aggregate consumes them
     with keys_sorted=True — the pipeline pays ONE probe sort total: no
     join restore sort, no aggregate input sort, no per-column gathers.
-    Unlike star_query this host-syncs on band-overflow flags (large
-    dimension sides need the banded strategy), so it is a host-driven
-    pipeline, not one jit.
+    The join runs its serving form (defer_overflow=True, fully traceable)
+    so the whole pipeline costs ONE host read of the band-overflow flag
+    per call; under extreme fact-key skew (flag True) it re-runs through
+    the merge probe, exact but slower.
 
     Returns (group_keys, sums, count): per distinct matched fact key, the
     sum of its measures over rows whose key exists in dim (even keys by
@@ -138,15 +139,21 @@ def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
     measures = measures.astype(jnp.int32)
     dim_keys = jax.lax.broadcasted_iota(jnp.uint32, (dim_rows,), 0) * 2
     dim_vals = jax.lax.broadcasted_iota(jnp.int32, (dim_rows,), 0)
-    # sorted_output guarantees key-grouped rows on every strategy (incl.
-    # the band-overflow merge fallback and the XLA A/B baseline), so the
-    # aggregate can always skip its input sort
-    found, _, _, (m_s, k_s) = jn.hash_join(
-        dim_keys, dim_vals, keys, build_sorted=True,
-        use_pallas=use_pallas, sorted_output=True,
-        probe_impl="banded" if use_pallas else "merge",
-        probe_cols=(measures, keys))
-    contrib = jnp.where(found, m_s, jnp.int32(0))
-    return agg.group_aggregate_sorted(
-        k_s, contrib, num_groups=2 * dim_rows, agg="sum",
-        keys_sorted=True, use_pallas=use_pallas)
+
+    def run(impl: str):
+        # sorted_output guarantees key-grouped rows on every strategy
+        # (incl. the XLA A/B baseline), so the aggregate always skips
+        # its input sort
+        found, _, _, (m_s, k_s), ovf = jn.hash_join(
+            dim_keys, dim_vals, keys, build_sorted=True,
+            use_pallas=use_pallas, sorted_output=True, probe_impl=impl,
+            probe_cols=(measures, keys), defer_overflow=True)
+        contrib = jnp.where(found, m_s, jnp.int32(0))
+        return agg.group_aggregate_sorted(
+            k_s, contrib, num_groups=2 * dim_rows, agg="sum",
+            keys_sorted=True, use_pallas=use_pallas), ovf
+
+    out, ovf = run("banded" if use_pallas else "merge")
+    if bool(ovf):  # extreme skew overflowed a band window: exact fallback
+        out, _ = run("merge")
+    return out

@@ -309,15 +309,24 @@ def _band_probe_rows(m: int, nb: int) -> int:
     return pr
 
 
-def _banded_passes(bl, vals_i32, plimbs, passes, extra_cols=()):
-    """Run band probes over sorted probes; None on band overflow.
+def _banded_passes(bl, vals_i32, plimbs, passes, extra_cols=(),
+                   defer_overflow: bool = False):
+    """Run band probes over sorted probes.
 
     Sorts the probes ONCE (with their position as payload, plus any
     caller-supplied i32 `extra_cols` riding the same sort — the
     probe-payload channel of sorted_output joins), runs one band pass
     per entry of `passes` (each maps sorted limbs -> probe limbs), and
-    returns (pos_sorted, sorted limbs, results, sorted extra cols) with
-    results per SORTED probe.
+    returns (pos_sorted, sorted limbs, results, sorted extra cols, ovf)
+    with results per SORTED probe.
+
+    Overflow (extreme skew: a probe block's build range exceeds the band
+    window) makes the results unusable. Default: one host read per pass
+    (`bool(ovf)`); results come back as None and the caller falls back to
+    the merge probe. defer_overflow=True keeps everything on device — no
+    host sync, fully jit-traceable — and returns the OR of the passes'
+    flags as a device bool for the caller to check asynchronously
+    (results are garbage when it reads True).
     """
     from cl_ops_tpu.ops.exec import bandprobe
     from cl_ops_tpu.utils.platform import pallas_interpret
@@ -330,21 +339,28 @@ def _banded_passes(bl, vals_i32, plimbs, passes, extra_cols=()):
     interp = pallas_interpret()
     pr = _band_probe_rows(m, bl[0].shape[0])
     results = []
+    ovf_any = jnp.zeros((), jnp.bool_)
     for fn in passes:
         qlimbs = fn(sp_limbs)
         count, eq, vp, vn, ovf = bandprobe.probe_banded_sorted(
             tuple(bl), vals_i32, tuple(qlimbs), interpret=interp,
             probe_rows=pr)
-        if bool(ovf):  # extreme skew: window exceeded -> merge fallback
-            return None, None, None, None
+        if defer_overflow:
+            ovf_any = jnp.logical_or(ovf_any, ovf)
+        elif bool(ovf):  # extreme skew: window exceeded -> merge fallback
+            return None, None, None, None, None
         results.append((count, eq, vp, vn))
-    return spos, sp_limbs, results, scols
+    return spos, sp_limbs, results, scols, ovf_any
 
 
 def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
                   use_pallas: bool = True, probe_impl: str = "auto",
-                  sorted_output: bool = False, probe_cols_enc=()):
-    """Unique-build-key probe: (found, vals, spos|None, pcols|None).
+                  sorted_output: bool = False, probe_cols_enc=(),
+                  defer_overflow: bool = False):
+    """Unique-build-key probe: (found, vals, spos|None, pcols|None, ovf).
+
+    ovf is None unless defer_overflow (see _banded_passes; only the
+    banded strategy can raise it — elsewhere it is a constant False).
 
     probe_cols_enc: encoded i32 probe-side payload columns. On the banded
     strategy they ride the probe sort (returned in output order as the
@@ -368,35 +384,38 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
     vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
                             probe_impl, sorted_output)
+    no_ovf = jnp.zeros((), jnp.bool_) if defer_overflow else None
     if strat == "direct":
         from cl_ops_tpu.ops.exec import bandprobe
         from cl_ops_tpu.utils.platform import pallas_interpret
         _, eq, vps, _ = bandprobe.probe_direct(
             bl, vcols, plimbs, interpret=pallas_interpret())
-        return eq, _val_from_cols(vps, vdt), None, None
+        return eq, _val_from_cols(vps, vdt), None, None, no_ovf
     if strat == "banded":
-        spos, _, res, scols = _banded_passes(
+        spos, _, res, scols, ovf = _banded_passes(
             bl, vcols, plimbs, [lambda s: s],
-            extra_cols=probe_cols_enc if sorted_output else ())
+            extra_cols=probe_cols_enc if sorted_output else (),
+            defer_overflow=defer_overflow)
         if res is not None:
             _, eq, vp, _ = res[0]
             if sorted_output:  # skip the restore sort entirely
-                return eq, _val_from_cols(vp, vdt), spos, scols
+                return eq, _val_from_cols(vp, vdt), spos, scols, ovf
             m = spos.shape[0]
             if 2 * m < _PACK_MAX:
                 # restore: pos rides the key with eq in the low bit
                 key3 = spos * 2 + eq.astype(jnp.int32)
                 out = _jit_sort_cols((key3, *vp))
                 return ((out[0] & 1) > 0,
-                        _val_from_cols(out[1:], vdt), None, None)
+                        _val_from_cols(out[1:], vdt), None, None, ovf)
             # two-limb rank restore (n up to 2^31): spos is unique, so
             # eq rides as an inert column instead of packing into the key
             out = _jit_sort_cols((spos, eq.astype(jnp.int32), *vp))
-            return out[1] > 0, _val_from_cols(out[2:], vdt), None, None
+            return (out[1] > 0, _val_from_cols(out[2:], vdt), None, None,
+                    ovf)
     _, eq, val_prev, _, spos = _merge_rank(bl, vcols, plimbs,
                                            use_pallas=use_pallas,
                                            sorted_output=sorted_output)
-    return eq, _val_from_cols(val_prev, vdt), spos, None
+    return eq, _val_from_cols(val_prev, vdt), spos, None, no_ovf
 
 
 _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
@@ -404,8 +423,10 @@ _jit_limbs_minus_one = jax.jit(lambda limbs: _limbs_minus_one(limbs))
 
 def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                         use_pallas: bool = True, probe_impl: str = "auto",
-                        sorted_output: bool = False, probe_cols_enc=()):
-    """Non-unique probe: (match_count, first_vals, spos|None, pcols|None).
+                        sorted_output: bool = False, probe_cols_enc=(),
+                        defer_overflow: bool = False):
+    """Non-unique probe: (match_count, first_vals, spos|None, pcols|None,
+    ovf) — ovf as in _probe_sorted.
 
     Upper bound (#build <= key) from one pass; lower bound (#build < key)
     = #build <= key-1 in integer limb space from a second pass on key-1
@@ -421,6 +442,8 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
     vdt = build_vals_sorted.dtype
     strat = _probe_strategy(build_keys_sorted.shape[0], use_pallas,
                             probe_impl, sorted_output)
+
+    no_ovf = jnp.zeros((), jnp.bool_) if defer_overflow else None
 
     def first_match_fix(is_min, vn_cols):
         # minimum-key probes: the lb pass's val_next points past the
@@ -440,14 +463,15 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
         lb = jnp.where(is_min, 0, lb)
         count = ub - lb
         return (count, _val_from_cols(first_match_fix(is_min, vns), vdt),
-                None, None)
+                None, None, no_ovf)
     if strat == "banded":
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
             return q
-        spos, sp_limbs, res, scols = _banded_passes(
+        spos, sp_limbs, res, scols, ovf = _banded_passes(
             bl, vcols, plimbs, [lambda s: s, minus_one],
-            extra_cols=probe_cols_enc if sorted_output else ())
+            extra_cols=probe_cols_enc if sorted_output else (),
+            defer_overflow=defer_overflow)
         if res is not None:
             ub, _, _, _ = res[0]
             lb, _, _, vns = res[1]
@@ -458,10 +482,11 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
             val_cols = first_match_fix(is_min, vns)
             count = ub - lb
             if sorted_output:  # skip the restore sort entirely
-                return count, _val_from_cols(val_cols, vdt), spos, scols
+                return count, _val_from_cols(val_cols, vdt), spos, scols, \
+                    ovf
             # restore: (pos, count, first_val...) in one column sort
             out = _jit_sort_cols((spos, count, *val_cols))
-            return out[1], _val_from_cols(out[2:], vdt), None, None
+            return out[1], _val_from_cols(out[2:], vdt), None, None, ovf
     # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
     # by key-1, and those orders can interleave differently where min and
     # min+1 keys coexist (key-1 ties them) — so sorted_output cannot skip
@@ -482,8 +507,8 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
         out = _jit_sort_cols((*plimbs, pos, count, *val_cols))
         nl = len(plimbs)
         return (out[nl + 1], _val_from_cols(out[nl + 2:], vdt),
-                out[nl], None)
-    return count, _val_from_cols(val_cols, vdt), None, None
+                out[nl], None, no_ovf)
+    return count, _val_from_cols(val_cols, vdt), None, None, no_ovf
 
 
 @functools.lru_cache(maxsize=None)
@@ -498,7 +523,7 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
               sorter=None, use_pallas: bool = True,
               unique_build: bool = True, join_type: str = "inner",
               probe_impl: str = "auto", sorted_output: bool = False,
-              probe_cols=()):
+              probe_cols=(), defer_overflow: bool = False):
     """Equi-join probe of the fact side against the build side.
 
     Args:
@@ -531,11 +556,22 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         sorted_output). On the banded strategy they ride the probe sort
         itself; elsewhere they reorder through probe_rows.
 
-    NOT wrappable in jax.jit when the banded strategy is in play: the
-    band-overflow fallback reads `bool(ovf)` on a device array (a host
-    sync per band pass; TracerBoolConversionError under an outer jit).
-    Pipelines that must stay in ONE jit pin probe_impl="direct" (small
-    build sides) or "merge", as models/pipeline.py does.
+      defer_overflow: the serving form (the single-chip analog of the
+        distributed operators' check="defer"). Skips the per-band-pass
+        host reads of the overflow flag, making EVERY strategy fully
+        jit-traceable, and appends the flag as a trailing device bool:
+        False ⇔ the outputs are exact; True means a band window
+        overflowed under extreme skew and the results are garbage —
+        re-run with probe_impl="merge". Non-banded strategies return a
+        constant False.
+
+    NOT wrappable in jax.jit when the banded strategy is in play UNLESS
+    defer_overflow=True: the band-overflow fallback reads `bool(ovf)` on
+    a device array (a host sync per band pass;
+    TracerBoolConversionError under an outer jit). Pipelines that must
+    stay in ONE jit pin probe_impl="direct" (small build sides) or
+    "merge", or pass defer_overflow=True and check the flag
+    asynchronously, as models/pipeline.py does.
 
     Returns:
       inner + unique_build: (found, vals) — vals undefined where not
@@ -548,7 +584,8 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
       With sorted_output=True every form gains a trailing `probe_rows`
       array (the original probe row per output row) and rows arrive
       grouped in ascending probe-key order; with probe_cols the
-      reordered payload columns follow as one trailing tuple.
+      reordered payload columns follow as one trailing tuple. With
+      defer_overflow=True the overflow flag is appended LAST.
     """
     if join_type not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join_type {join_type!r}")
@@ -567,15 +604,15 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
     pc_enc, pc_spec = (psort.cols_to_i32(tuple(probe_cols))
                        if probe_cols else ((), ()))
     if unique_build:
-        found, vals, spos, scols = _probe_sorted(
+        found, vals, spos, scols, ovf = _probe_sorted(
             build_keys, build_vals, probe_keys, use_pallas=use_pallas,
             probe_impl=probe_impl, sorted_output=sorted_output,
-            probe_cols_enc=pc_enc)
+            probe_cols_enc=pc_enc, defer_overflow=defer_overflow)
     else:
-        count, vals, spos, scols = _probe_sorted_multi(
+        count, vals, spos, scols, ovf = _probe_sorted_multi(
             build_keys, build_vals, probe_keys, use_pallas=use_pallas,
             probe_impl=probe_impl, sorted_output=sorted_output,
-            probe_cols_enc=pc_enc)
+            probe_cols_enc=pc_enc, defer_overflow=defer_overflow)
         found = count > 0
     # every sorted_output strategy returns a real probe-row map (direct,
     # which keeps original order, is excluded by _probe_strategy)
@@ -585,16 +622,20 @@ def hash_join(build_keys, build_vals, probe_keys, *, build_sorted=False,
         if scols is None:  # strategy did not carry them: one gather each
             scols = tuple(jnp.take(c, spos) for c in pc_enc)
         out_cols = (psort.cols_from_i32(scols, pc_spec),)
+    tail = (ovf,) if defer_overflow else ()
     if join_type == "semi":
-        return (found, spos, *out_cols) if sorted_output else found
-    if join_type == "anti":
+        out = (found, spos, *out_cols) if sorted_output else (found,)
+    elif join_type == "anti":
         na = jnp.logical_not(found)
-        return (na, spos, *out_cols) if sorted_output else na
-    if unique_build:
-        return ((found, vals, spos, *out_cols) if sorted_output
-                else (found, vals))
-    return ((count, vals, spos, *out_cols) if sorted_output
-            else (count, vals))
+        out = (na, spos, *out_cols) if sorted_output else (na,)
+    elif unique_build:
+        out = ((found, vals, spos, *out_cols) if sorted_output
+               else (found, vals))
+    else:
+        out = ((count, vals, spos, *out_cols) if sorted_output
+               else (count, vals))
+    out = out + tail
+    return out[0] if len(out) == 1 else out
 
 
 def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):

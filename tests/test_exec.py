@@ -635,13 +635,17 @@ def test_hash_join_expand_dup_probe_window_dip():
     np.testing.assert_array_equal(np.asarray(pidx)[:total], exp_pidx)
 
 
-@pytest.mark.parametrize("unique_build", [True, False])
-def test_hash_join_sorted_output(unique_build):
+@pytest.mark.parametrize("unique_build,log2_nb",
+                         [(True, 15), (False, 15), (True, 11), (False, 11)])
+def test_hash_join_sorted_output(unique_build, log2_nb):
     """sorted_output skips the restore sorts: scattering the outputs back
     through probe_rows must reproduce the default-path results, on both
-    the banded (large build) and merge strategies."""
+    the banded and merge strategies. nb=2^15 with 2^12 probes overflows
+    the band window (one probe block spans the whole build), so that size
+    covers the banded->merge FALLBACK; nb=2^11 keeps the span within the
+    window and exercises the real band kernels."""
     rng = np.random.RandomState(60)
-    nb = 1 << 15  # > DIRECT_MAX: exercises the banded strategy
+    nb = 1 << log2_nb
     if unique_build:
         bk = np.arange(nb, dtype=np.uint32) * 3
     else:
@@ -709,6 +713,58 @@ def test_hash_join_sorted_output_semi_anti_and_small_build():
     a = np.empty(len(pk), bool)
     a[np.asarray(pr3)] = np.asarray(anti)
     np.testing.assert_array_equal(a, pk % 2 == 1)
+
+
+@pytest.mark.parametrize("unique_build,sorted_output",
+                         [(True, False), (True, True), (False, False)])
+def test_hash_join_defer_overflow_jit(unique_build, sorted_output):
+    """defer_overflow is the serving form: the banded join becomes fully
+    jit-wrappable (no per-band-pass host sync), appends a device overflow
+    flag, and matches the host-synced path when the flag reads False."""
+    import jax
+    rng = np.random.RandomState(64)
+    # band-friendly shape: one probe block's expected build span stays
+    # within the window (m >> nb), so the flag genuinely reads False
+    nb = 1 << 11
+    if unique_build:
+        bk = np.arange(nb, dtype=np.uint32) * 2
+    else:
+        bk = np.sort(rng.randint(0, nb, size=nb).astype(np.uint32))
+    bv = np.arange(nb, dtype=np.int32) + 3
+    pk = rng.randint(0, 2 * nb, size=1 << 13).astype(np.uint32)
+    fn = jax.jit(lambda b, v, p: ex.hash_join(
+        b, v, p, build_sorted=True, use_pallas=True,
+        unique_build=unique_build, probe_impl="banded",
+        sorted_output=sorted_output, defer_overflow=True))
+    out = fn(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk))
+    assert not bool(out[-1]), "unexpected band overflow"
+    ref = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                       build_sorted=True, use_pallas=True,
+                       unique_build=unique_build, probe_impl="banded",
+                       sorted_output=sorted_output)
+    ref = ref if isinstance(ref, tuple) else (ref,)
+    for got, want in zip(out[:-1], ref):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hash_join_defer_overflow_flags_extreme_skew():
+    """A probe block spanning more build rows than one band window must
+    read back ovf=True on the deferred path (results garbage), while the
+    host-synced default falls back to the merge probe and stays exact."""
+    from cl_ops_tpu.ops.exec import bandprobe
+    nb = bandprobe.DIRECT_MAX * 8
+    bk = np.arange(nb, dtype=np.uint32)
+    bv = np.arange(nb, dtype=np.int32)
+    pk = np.linspace(0, nb - 1, 1 << 14).astype(np.uint32)
+    out = ex.hash_join(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                       build_sorted=True, use_pallas=True,
+                       probe_impl="banded", defer_overflow=True)
+    assert bool(out[-1]), "extreme skew did not flag the deferred path"
+    found, vals = ex.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+        build_sorted=True, use_pallas=True, probe_impl="banded")
+    assert bool(np.asarray(found).all())
+    np.testing.assert_array_equal(np.asarray(vals), pk.astype(np.int32))
 
 
 @pytest.mark.parametrize("unique_build", [True, False])
@@ -1009,7 +1065,10 @@ def test_hash_join_probe_cols(impl):
     is excluded by API: probe_cols requires sorted_output, which rejects
     the original-order direct strategy.)"""
     rng = np.random.RandomState(92)
-    nb = (1 << 15) if impl == "banded" else 512
+    # 2^11 keeps the band window unviolated at 4096 probes, so "banded"
+    # really verifies the extra-cols-ride-the-probe-sort channel (2^15
+    # would silently fall back to merge and bypass it)
+    nb = (1 << 11) if impl == "banded" else 512
     bk = np.arange(nb, dtype=np.uint32) * 2
     bv = np.arange(nb, dtype=np.int32)
     pk = rng.randint(0, 2 * nb, size=4096).astype(np.uint32)
