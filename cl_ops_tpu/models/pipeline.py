@@ -114,6 +114,42 @@ def star_query(n: int, dim_rows: int = 1 << 14, num_cats: int = 256,
     return count, table
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n", "num_groups", "seed", "threshold",
+                                    "use_pallas"))
+def q1_query(n: int, num_groups: int = 64, seed: int = 0,
+             threshold: int = 768, use_pallas: bool = True):
+    """SELECT key, SUM(qty), SUM(price), MIN(qty), MAX(price), COUNT(*),
+    AVG(price) FROM t WHERE qty < threshold GROUP BY key — the TPC-H-Q1
+    shape: a multi-measure aggregate over a filtered scan, in ONE jit.
+
+    Exercises group_aggregate_cols end-to-end: the filtered rows sort
+    ONCE by (validity, key, qty, price) and all six aggregates reduce
+    against one shared boundary scan (qty, the secondary sort key, gets
+    its MIN as a free boundary gather; MAX(price) pays the one extra
+    (group_id, value) column sort).
+
+    Returns (count, group_keys, tables, group_count): tables is the
+    6-tuple of aggregate columns in the SELECT order above.
+    """
+    from cl_ops_tpu.ops.exec import aggregate as agm
+    ids = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    keys = (threefry.random_bits(seed, ids, jnp.uint32(0))
+            % jnp.uint32(num_groups)).astype(jnp.int32)
+    qty = (threefry.random_bits(seed, ids, jnp.uint32(1))
+           % jnp.uint32(1024)).astype(jnp.int32)
+    price = (threefry.random_bits(seed, ids, jnp.uint32(2))
+             % jnp.uint32(10000)).astype(jnp.int32)
+    count, fq, fp, fk = flt.filter_compact(
+        qty, lambda q: q < jnp.int32(threshold), price, keys,
+        use_pallas=use_pallas)
+    gk, tables, gcnt = agm.group_aggregate_cols(
+        fk, (fq, fp, fq, fp, fq, fp),
+        ("sum", "sum", "min", "max", "count", "mean"),
+        num_groups=num_groups, n_valid=count, use_pallas=use_pallas)
+    return count, gk, tables, gcnt
+
+
 def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
                  use_pallas: bool = True):
     """SELECT f.key, SUM(f.measure) FROM fact f SEMI JOIN dim d

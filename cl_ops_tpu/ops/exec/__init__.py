@@ -5,13 +5,15 @@ The north-star extension layer (BASELINE.json): the cl_ops primitive set
 reference's satradix composes its scan (`clo_sort_satradix.c:296-300`).
 """
 
-from cl_ops_tpu.ops.exec.aggregate import (group_aggregate_direct,
+from cl_ops_tpu.ops.exec.aggregate import (group_aggregate_cols,
+                                           group_aggregate_direct,
                                            group_aggregate_prefix,
                                            group_aggregate_sorted)
 from cl_ops_tpu.ops.exec.filter import count_where, filter_compact
 from cl_ops_tpu.ops.exec.join import (hash_join, hash_join_expand,
                                       hash_u32)
 
-__all__ = ["count_where", "filter_compact", "group_aggregate_direct",
+__all__ = ["count_where", "filter_compact", "group_aggregate_cols",
+           "group_aggregate_direct",
            "group_aggregate_prefix", "group_aggregate_sorted", "hash_join",
            "hash_join_expand", "hash_u32"]

@@ -159,28 +159,132 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
                             use_pallas=use_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "agg",
-                                             "vals_in_key_order",
-                                             "use_pallas"))
+def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
+                         n_valid=None, use_pallas: bool = True,
+                         keys_sorted: bool = False):
+    """Multi-measure GROUP BY: one input sort, one boundary scan, one
+    reduction per (column, agg) — the SELECT sum(a), min(b), count(*)
+    shape (e.g. TPC-H Q1), where re-sorting the table per measure would
+    multiply the dominant cost.
+
+    values: tuple of measure columns (same length); aggs: matching tuple
+    from sum/count/min/max/mean ("count" ignores its column's values).
+    Rows sort by (key, values...) on normalized limbs through the
+    flagship Pallas bitonic (use_pallas=False: same algorithm on
+    lax.sort), so the FIRST column additionally rides the key order and
+    its min/max are free boundary gathers; later min/max columns each pay
+    one (group_id, value) sort. n_valid aggregates only rows < n_valid
+    after partitioning validity to the front (the filter_compact
+    composer). keys_sorted=True consumes pre-grouped rows (e.g.
+    hash_join sorted_output + probe_cols) with no input sort at all.
+
+    Returns (group_keys, tables, count): tables is a tuple aligned with
+    `values`; the first `count` rows of each hold one aggregate per
+    distinct key, ascending; later entries are padding.
+    """
+    if len(values) != len(aggs) or not values:
+        raise ValueError("values and aggs must be equal-length, non-empty")
+    for a in aggs:
+        if a not in _AGGS:
+            raise ValueError(f"unknown agg {a!r}")
+    if keys_sorted and n_valid is not None:
+        raise ValueError("n_valid requires the sorting path "
+                         "(keys_sorted=False)")
+    if keys.shape[0] == 0:
+        def table_dt(v, a):
+            if a == "count":
+                return jnp.dtype(jnp.int32)
+            if a == "mean":
+                return (jnp.zeros((), v.dtype) / jnp.int32(1)).dtype
+            return v.dtype
+        return (jnp.zeros((num_groups,), keys.dtype),
+                tuple(jnp.zeros((num_groups,), table_dt(v, a))
+                      for v, a in zip(values, aggs)), jnp.int32(0))
+    if keys_sorted:
+        return _boundary_reduce_cols(
+            keys, tuple(values), num_groups=num_groups, aggs=tuple(aggs),
+            key_ordered=(False,) * len(values), use_pallas=use_pallas)
+    # the first measure column becomes a secondary sort key -> its min/max
+    # are boundary gathers; later columns only order within (key, v1)
+    # ties. A later column that IS column 0's array (several aggs over one
+    # measure, e.g. Q1's sum+min of qty) shares its order. Decided here,
+    # on real arrays — inside the jit each tuple slot is a distinct tracer
+    # and identity would never hold.
+    key_ordered = tuple(i == 0 or v is values[0]
+                        for i, v in enumerate(values))
+    return _group_aggregate_cols_sort(
+        keys, tuple(values), n_valid, num_groups=num_groups,
+        aggs=tuple(aggs), key_ordered=key_ordered, use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
+                                             "key_ordered", "use_pallas"))
+def _group_aggregate_cols_sort(keys, values, n_valid, *, num_groups: int,
+                               aggs, key_ordered, use_pallas: bool):
+    kl = keymod.to_limbs(keys)
+    vls = [keymod.to_limbs(v) for v in values]
+    n = keys.shape[0]
+    if n_valid is not None:
+        inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+               >= n_valid).astype(jnp.int32)
+        cols = (inv, *kl, *(c for vl in vls for c in vl))
+        skip = 1
+    else:
+        cols = (*kl, *(c for vl in vls for c in vl))
+        skip = 0
+    out = psort.sort_i32_cols(cols) if use_pallas else tuple(
+        jax.lax.sort(list(cols), num_keys=len(cols)))
+    skeys = keymod.from_limbs(list(out[skip:skip + len(kl)]), keys.dtype)
+    svals = []
+    off = skip + len(kl)
+    for v, vl in zip(values, vls):
+        svals.append(keymod.from_limbs(list(out[off:off + len(vl)]),
+                                       v.dtype))
+        off += len(vl)
+    return _boundary_reduce_cols(
+        skeys, tuple(svals), num_groups=num_groups, aggs=aggs,
+        key_ordered=key_ordered, n_valid=n_valid, use_pallas=use_pallas)
+
+
 def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
                      n_valid=None, vals_in_key_order: bool = False,
                      use_pallas: bool = False):
-    """Scatter-free segmented reduce over key-sorted rows.
+    """Scatter-free segmented reduce over key-sorted rows (one measure).
 
-    sum/count/mean: group totals are differences of the running cumsum at
-    segment END positions; the (data-dependent) end-position list compacts
-    to the front with the same stable-partition key filter_compact uses
-    (Pallas bitonic when use_pallas). min/max: when vals_in_key_order
-    (rows sorted by (key, value)), a group's min/max are the values at its
-    first/last position — pure gathers; otherwise they fall back to the
-    XLA scatter table (element-serialized on TPU — prefer the sorted-value
-    path at scale).
+    Thin wrapper over _boundary_reduce_cols — see it for the mechanism
+    and the n_valid contract."""
+    gk, tables, count = _boundary_reduce_cols(
+        skeys, (svals,), num_groups=num_groups, aggs=(agg,),
+        key_ordered=(vals_in_key_order,), n_valid=n_valid,
+        use_pallas=use_pallas)
+    return gk, tables[0], count
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
+                                             "key_ordered", "use_pallas"))
+def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
+                          key_ordered, n_valid=None,
+                          use_pallas: bool = False):
+    """Scatter-free segmented reduce over key-sorted rows, N measures.
+
+    The boundary machinery (group starts/ends, the data-dependent
+    end-position compaction — a stable partition through the Pallas
+    bitonic when use_pallas) runs ONCE and every measure column reduces
+    against it. sum/count/mean: group totals are differences of the
+    running cumsum at segment END positions. min/max: when that column is
+    key_ordered (rows sorted by (key, value)), a group's min/max are the
+    values at its first/last position — pure gathers; otherwise one
+    (group_id, value) column sort per such column makes them
+    run-boundary gathers (the XLA scatter table both replace is
+    element-serialized on TPU, ~2 Mrows/s; r2 weak item 6).
 
     n_valid: optional traced count of valid rows. When given, rows at
     positions >= n_valid are ignored entirely (callers sort with the
     inverted valid mask as primary key so valid rows form a prefix) —
     validity never has to be encoded in key space, so any key value,
     including the dtype's extremes, aggregates correctly.
+
+    Returns (group_keys, tables tuple, count).
     """
     n = skeys.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -194,42 +298,12 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
     group_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     count = group_id[-1] + 1
 
-    if agg in ("min", "max") and not vals_in_key_order:
-        # Values arrived in arbitrary within-group order (explicit-sorter
-        # path: key-only sort, values as payload). One (group_id, value)
-        # column sort makes min/max pure run-boundary gathers — the XLA
-        # scatter table this replaced is element-serialized on TPU
-        # (~2 Mrows/s; r2 weak item 6). group_id is nondecreasing in the
-        # key-sorted input, so run boundaries come from searchsorted over
-        # num_groups queries (cheap next to n).
-        vl = keymod.to_limbs(svals)
-        # invalid rows take group id num_groups: they sort past every real
-        # group's run and never contaminate a min/max (n_valid contract)
-        gid2 = jnp.where(valid, group_id, jnp.int32(num_groups))
-        cols = (gid2, *vl)
-        out = psort.sort_i32_cols(cols) if use_pallas else tuple(
-            jax.lax.sort(list(cols), num_keys=len(cols)))
-        sv2 = keymod.from_limbs(list(out[1:]), svals.dtype)
-        gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
-        starts = jnp.searchsorted(out[0], gi).astype(jnp.int32)
-        ends_g = jnp.searchsorted(out[0], gi,
-                                  side="right").astype(jnp.int32) - 1
-        src = ends_g if agg == "max" else starts
-        valid_g = gi < count
-        table = jnp.where(valid_g, jnp.take(sv2, jnp.clip(src, 0, n - 1)),
-                          jnp.asarray(_init_scalar(svals.dtype, agg),
-                                      svals.dtype))
-        group_keys = jnp.take(skeys, jnp.clip(starts, 0, n - 1))
-        return group_keys, table, count
-
     # end of group g = position before the next is_new / first invalid row
     # (or the last row)
     ones1 = jnp.ones((1,), jnp.bool_)
     next_is_new = jnp.concatenate([is_new[1:], ones1])
     next_invalid = jnp.concatenate([jnp.logical_not(valid)[1:], ones1])
     is_end = valid & (next_is_new | next_invalid)
-    if n_valid is not None and agg not in ("min", "max"):
-        svals = jnp.where(valid, svals, jnp.zeros((), svals.dtype))
     # compact end positions to the front, in order (stable partition)
     if use_pallas and 2 * n < 2 ** 31:
         comb = psort.flag_pos_key(
@@ -245,30 +319,56 @@ def _boundary_reduce(skeys, svals, *, num_groups: int, agg: str,
     valid_g = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
     ends = jnp.where(valid_g, ends, n - 1)
     group_keys = jnp.take(skeys, ends)
+    starts_g = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
 
-    if agg in ("min", "max"):
-        # group starts: end of the previous group + 1
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
-        src = ends if agg == "max" else jnp.clip(starts, 0, n - 1)
-        table = jnp.where(valid_g, jnp.take(svals, src),
-                          jnp.asarray(_init_scalar(svals.dtype, agg),
-                                      svals.dtype))
-        return group_keys, table, count
+    vcnt_acc = None
+    if any(a in ("count", "mean") for a in aggs):
+        vcnt_acc = jnp.cumsum(valid.astype(jnp.int32))
 
-    if agg == "count":
-        vacc = jnp.cumsum(valid.astype(jnp.int32))
-    else:
-        vacc = jnp.cumsum(svals)
-    end_acc = jnp.take(vacc, ends)
-    prev_acc = jnp.concatenate([jnp.zeros((1,), end_acc.dtype),
-                                end_acc[:-1]])
-    table = jnp.where(valid_g, end_acc - prev_acc,
-                      jnp.zeros((), end_acc.dtype))
-    if agg == "mean":
-        cnt_acc = jnp.take(jnp.cumsum(valid.astype(jnp.int32)), ends)
-        prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                    cnt_acc[:-1]])
-        cnts = jnp.maximum(cnt_acc - prev_cnt, 1)
-        table = table / cnts.astype(table.dtype)
-    return group_keys, table, count
+    def seg_diff(acc):
+        end_acc = jnp.take(acc, ends)
+        prev_acc = jnp.concatenate([jnp.zeros((1,), end_acc.dtype),
+                                    end_acc[:-1]])
+        return jnp.where(valid_g, end_acc - prev_acc,
+                         jnp.zeros((), end_acc.dtype))
+
+    tables = []
+    for sv, agg, ko in zip(svals, aggs, key_ordered):
+        if agg in ("min", "max") and ko:
+            src = ends if agg == "max" else jnp.clip(starts_g, 0, n - 1)
+            tables.append(jnp.where(
+                valid_g, jnp.take(sv, src),
+                jnp.asarray(_init_scalar(sv.dtype, agg), sv.dtype)))
+            continue
+        if agg in ("min", "max"):
+            # values in arbitrary within-group order: one (group_id,
+            # value) column sort; group_id is nondecreasing in the
+            # key-sorted input, so run boundaries come from searchsorted
+            # over num_groups queries (cheap next to n). Invalid rows
+            # take group id num_groups: they sort past every real run.
+            vl = keymod.to_limbs(sv)
+            gid2 = jnp.where(valid, group_id, jnp.int32(num_groups))
+            cols = (gid2, *vl)
+            out = psort.sort_i32_cols(cols) if use_pallas else tuple(
+                jax.lax.sort(list(cols), num_keys=len(cols)))
+            sv2 = keymod.from_limbs(list(out[1:]), sv.dtype)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
+            s = jnp.searchsorted(out[0], gi).astype(jnp.int32)
+            e = jnp.searchsorted(out[0], gi,
+                                 side="right").astype(jnp.int32) - 1
+            src = e if agg == "max" else s
+            tables.append(jnp.where(
+                valid_g, jnp.take(sv2, jnp.clip(src, 0, n - 1)),
+                jnp.asarray(_init_scalar(sv.dtype, agg), sv.dtype)))
+            continue
+        if agg == "count":
+            tables.append(seg_diff(vcnt_acc))
+            continue
+        if n_valid is not None:
+            sv = jnp.where(valid, sv, jnp.zeros((), sv.dtype))
+        table = seg_diff(jnp.cumsum(sv))
+        if agg == "mean":
+            cnts = jnp.maximum(seg_diff(vcnt_acc), 1)
+            table = table / cnts.astype(table.dtype)
+        tables.append(table)
+    return group_keys, tuple(tables), count

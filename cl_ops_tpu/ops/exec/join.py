@@ -653,8 +653,8 @@ def _ranges_sorted(bl, vals_i32, plimbs, use_pallas, probe_impl):
         def minus_one(s):
             q, _ = _jit_limbs_minus_one(tuple(s))
             return q
-        spos, sp_limbs, res, _ = _banded_passes(bl, vals_i32, plimbs,
-                                                [lambda s: s, minus_one])
+        spos, sp_limbs, res, _, _ = _banded_passes(bl, vals_i32, plimbs,
+                                                   [lambda s: s, minus_one])
         if res is not None:
             ub = res[0][0]
             lb = res[1][0]

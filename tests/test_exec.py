@@ -273,6 +273,89 @@ def test_group_aggregate_prefix(use_pallas):
         [vv[kv == k].sum() for k in uniq])
 
 
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_cols(use_pallas):
+    """Multi-measure GROUP BY (the TPC-H Q1 shape): one input sort, every
+    agg on two measure columns against the numpy oracle. Column 0 rides
+    the key order (min = boundary gather); column 2's max exercises the
+    per-column (group_id, value) sort path."""
+    rng = np.random.RandomState(70)
+    n = 1 << 12
+    keys = rng.randint(0, 200, size=n).astype(np.uint32)
+    v1 = rng.randint(-50, 50, size=n).astype(np.int32)
+    v2 = rng.randint(0, 1000, size=n).astype(np.uint32)
+    a = (jnp.asarray(v1), jnp.asarray(v1), jnp.asarray(v2),
+         jnp.asarray(v2), jnp.asarray(v2))
+    gk, (mn1, s1, mx2, c2, mean2), cnt = ex.group_aggregate_cols(
+        jnp.asarray(keys), a, ("min", "sum", "max", "count", "mean"),
+        num_groups=256, use_pallas=use_pallas)
+    uk = np.unique(keys)
+    assert int(cnt) == len(uk)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uk)], uk)
+    mn1, s1, mx2, c2, mean2 = (np.asarray(x) for x in
+                               (mn1, s1, mx2, c2, mean2))
+    for g, k in enumerate(uk):
+        m = keys == k
+        assert int(mn1[g]) == int(v1[m].min())
+        assert int(s1[g]) == int(v1[m].sum())
+        assert int(mx2[g]) == int(v2[m].max())
+        assert int(c2[g]) == int(m.sum())
+        assert abs(float(mean2[g]) - v2[m].mean()) < 1e-3
+
+
+def test_group_aggregate_cols_prefix_sorted_and_errors():
+    """n_valid composes with filter_compact; keys_sorted consumes
+    pre-grouped rows under jax.jit; invalid arguments reject."""
+    import jax
+    rng = np.random.RandomState(71)
+    n = 1000
+    keys = rng.randint(0, 30, size=n).astype(np.int32)
+    v1 = rng.randint(1, 9, size=n).astype(np.int32)
+    v2 = rng.randint(0, 100, size=n).astype(np.int32)
+    n_valid = 617
+    gk, (s1, mx2), cnt = ex.group_aggregate_cols(
+        jnp.asarray(keys), (jnp.asarray(v1), jnp.asarray(v2)),
+        ("sum", "max"), num_groups=64, n_valid=jnp.asarray(n_valid),
+        use_pallas=False)
+    kv = keys[:n_valid]
+    uk = np.unique(kv)
+    assert int(cnt) == len(uk)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uk)], uk)
+    np.testing.assert_array_equal(np.asarray(s1)[:len(uk)],
+                                  [v1[:n_valid][kv == k].sum() for k in uk])
+    np.testing.assert_array_equal(np.asarray(mx2)[:len(uk)],
+                                  [v2[:n_valid][kv == k].max() for k in uk])
+    # keys_sorted fusion path, whole call under jax.jit
+    order = np.argsort(keys, kind="stable")
+    fn = jax.jit(lambda k, a, b: ex.group_aggregate_cols(
+        k, (a, b), ("sum", "min"), num_groups=64, keys_sorted=True,
+        use_pallas=False))
+    gk2, (s2, mn2), cnt2 = fn(jnp.asarray(keys[order]),
+                              jnp.asarray(v1[order]),
+                              jnp.asarray(v2[order]))
+    uk2 = np.unique(keys)
+    assert int(cnt2) == len(uk2)
+    np.testing.assert_array_equal(np.asarray(s2)[:len(uk2)],
+                                  [v1[keys == k].sum() for k in uk2])
+    np.testing.assert_array_equal(np.asarray(mn2)[:len(uk2)],
+                                  [v2[keys == k].min() for k in uk2])
+    with pytest.raises(ValueError, match="equal-length"):
+        ex.group_aggregate_cols(jnp.asarray(keys), (jnp.asarray(v1),),
+                                ("sum", "max"), num_groups=64)
+    with pytest.raises(ValueError, match="unknown agg"):
+        ex.group_aggregate_cols(jnp.asarray(keys), (jnp.asarray(v1),),
+                                ("median",), num_groups=64)
+    with pytest.raises(ValueError, match="keys_sorted"):
+        ex.group_aggregate_cols(jnp.asarray(keys), (jnp.asarray(v1),),
+                                ("sum",), num_groups=64, keys_sorted=True,
+                                n_valid=jnp.asarray(5))
+    # empty input
+    gk3, tbls, cnt3 = ex.group_aggregate_cols(
+        jnp.asarray(np.zeros(0, np.int32)),
+        (jnp.asarray(np.zeros(0, np.int32)),), ("sum",), num_groups=8)
+    assert int(cnt3) == 0 and tbls[0].shape == (8,)
+
+
 @pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
 def test_hash_join_probe_impls(probe_impl):
     """All probe strategies agree with the oracle on the same data."""

@@ -51,6 +51,39 @@ def test_star_query():
     np.testing.assert_array_equal(np.asarray(table), exp)
 
 
+def test_q1_query():
+    """TPC-H-Q1 shape: filter -> six-aggregate multi-measure GROUP BY in
+    one jit, Pallas and XLA paths against the numpy oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cl_ops_tpu.models.pipeline import q1_query
+    from cl_ops_tpu.ops.rng import threefry
+    n, g = 1 << 13, 64
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    keys = np.asarray(threefry.random_bits(0, ids, jnp.uint32(0))
+                      % jnp.uint32(g)).astype(np.int64)
+    qty = np.asarray(threefry.random_bits(0, ids, jnp.uint32(1))
+                     % jnp.uint32(1024)).astype(np.int64)
+    price = np.asarray(threefry.random_bits(0, ids, jnp.uint32(2))
+                       % jnp.uint32(10000)).astype(np.int64)
+    m = qty < 768
+    uk = np.unique(keys[m])
+    for up in (True, False):
+        count, gk, (sq, sp, mnq, mxp, c, meanp), gcnt = q1_query(
+            n, num_groups=g, use_pallas=up)
+        assert int(count) == m.sum() and int(gcnt) == len(uk)
+        np.testing.assert_array_equal(np.asarray(gk)[:len(uk)], uk)
+        for i, k in enumerate(uk):
+            sel = m & (keys == k)
+            assert int(np.asarray(sq)[i]) == qty[sel].sum()
+            assert int(np.asarray(sp)[i]) == price[sel].sum()
+            assert int(np.asarray(mnq)[i]) == qty[sel].min()
+            assert int(np.asarray(mxp)[i]) == price[sel].max()
+            assert int(np.asarray(c)[i]) == sel.sum()
+            assert abs(float(np.asarray(meanp)[i])
+                       - price[sel].mean()) < 1e-2
+
+
 def test_rollup_query():
     """Restore-free join->aggregate fusion pipeline: ONE probe sort total
     (banded sorted_output + probe_cols + keys_sorted aggregate)."""
