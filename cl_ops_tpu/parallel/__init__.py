@@ -8,7 +8,8 @@ a device mesh, per-chip Pallas kernels wrapped in shard_map, XLA collectives
 
 from cl_ops_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated,
                                       row_sharding)
-from cl_ops_tpu.parallel.aggregate import dist_group_aggregate
+from cl_ops_tpu.parallel.aggregate import (dist_group_aggregate,
+                                           dist_group_aggregate_cols)
 from cl_ops_tpu.parallel.join import (dist_hash_join,
                                       dist_hash_join_expand)
 from cl_ops_tpu.parallel.scan import dist_scan
@@ -20,7 +21,8 @@ from cl_ops_tpu.parallel.splitters import (dist_sort_sample,
                                            range_partition_exchange)
 from cl_ops_tpu.parallel.sort import dist_sort
 
-__all__ = ["DATA_AXIS", "dist_group_aggregate", "dist_hash_join",
+__all__ = ["DATA_AXIS", "dist_group_aggregate",
+           "dist_group_aggregate_cols", "dist_hash_join",
            "dist_hash_join_expand",
            "dist_scan", "dist_sort", "dist_sort_sample",
            "keyed_exchange_once", "keyed_exchange_replan", "make_mesh",

@@ -50,26 +50,72 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
     order; group sets are disjoint across chips. With check="defer" a
     trailing `dropped` element is appended.
     """
+    out = dist_group_aggregate_cols(
+        keys, (values,), (agg,), mesh, num_groups=num_groups,
+        capacity=capacity, axis=axis, partition=partition,
+        max_replan=max_replan, samples_per_chip=samples_per_chip,
+        use_pallas=use_pallas, check=check)
+    if check == "defer":
+        gk, tables, cnt, dropped = out
+        return gk, tables[0], cnt, dropped
+    gk, tables, cnt = out
+    return gk, tables[0], cnt
+
+
+def dist_group_aggregate_cols(keys, values, aggs, mesh: Mesh, *,
+                              num_groups: int, capacity: int,
+                              axis: str = DATA_AXIS,
+                              partition: str = "hash", max_replan: int = 3,
+                              samples_per_chip: int = 256,
+                              use_pallas: bool | None = None,
+                              check: str = "replan"):
+    """Multi-measure distributed GROUP BY — the mesh-level
+    group_aggregate_cols (the `SELECT sum(a), min(b), count(*)` shape).
+
+    One all_to_all shuffle carries the key and EVERY measure column; each
+    chip then sorts its partition ONCE by (validity, key, measures...) and
+    reduces all (column, agg) pairs against one shared boundary scan.
+    values: tuple of measure columns; aggs: matching tuple from
+    sum/count/min/max/mean. Same skew/overflow contract as
+    dist_group_aggregate (`check="replan"` re-plans and raises before
+    dropping; `check="defer"` is jit-traceable and appends the per-chip
+    `dropped` counter).
+
+    Returns (group_keys, tables, count) per chip, row-sharded, tables a
+    tuple aligned with `values`; group sets are disjoint across chips.
+    """
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError("mesh axis size must be a power of 2")
     if check not in ("replan", "defer"):
         raise ValueError(f"unknown check {check!r}")
+    if len(values) != len(aggs) or not values:
+        raise ValueError("values and aggs must be equal-length, non-empty")
+    from cl_ops_tpu.ops.exec.aggregate import _AGGS
+    for a in aggs:
+        if a not in _AGGS:
+            raise ValueError(f"unknown agg {a!r}")
     if use_pallas is None:
         from cl_ops_tpu.utils.platform import on_tpu
         use_pallas = on_tpu()
+    # min/max gather-vs-resort decision per column: the first measure (and
+    # any alias of it) becomes a secondary sort key. Decided HERE on real
+    # arrays — tracer identity would not survive the shuffle anyway.
+    key_ordered = tuple(i == 0 or v is values[0]
+                        for i, v in enumerate(values))
     if check == "defer":
         (res,), (dropped,) = keyed_exchange_once(
-            [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
-            partition=partition, samples_per_chip=samples_per_chip)
+            [(keys, tuple(values))], mesh, capacities=(capacity,),
+            axis=axis, partition=partition,
+            samples_per_chip=samples_per_chip)
         cap = capacity
     else:
         (res,), (cap,) = keyed_exchange_replan(
-            [(keys, (values,))], mesh, capacities=(capacity,), axis=axis,
-            partition=partition, max_replan=max_replan,
+            [(keys, tuple(values))], mesh, capacities=(capacity,),
+            axis=axis, partition=partition, max_replan=max_replan,
             samples_per_chip=samples_per_chip,
             op_name="dist_group_aggregate")
-    counts, k, v = res
+    counts, k, *vs = res
 
     from cl_ops_tpu.ops.exec import psort
     from cl_ops_tpu.ops.sort import keys as keymod
@@ -77,44 +123,52 @@ def dist_group_aggregate(keys, values, mesh: Mesh, *, num_groups: int,
     interp = pallas_interpret()
     pallas_local = (use_pallas
                     and jnp.dtype(keys.dtype).itemsize == 4
-                    and jnp.dtype(values.dtype).itemsize == 4)
+                    and all(jnp.dtype(v.dtype).itemsize == 4
+                            for v in values))
 
-    def local_fn(c, kl, vl):
+    def local_fn(c, kl, *vls):
         c = c.reshape(-1)
-        kl = kl.reshape(n_chips, cap)
-        vl = vl.reshape(n_chips, cap)
-        slot = jax.lax.broadcasted_iota(jnp.int32, kl.shape, 1)
+        slot = jax.lax.broadcasted_iota(
+            jnp.int32, (n_chips, cap), 1)
         valid = (slot < c[:, None]).reshape(-1)
         kf = kl.reshape(-1)
-        vf = vl.reshape(-1)
+        vfs = [v.reshape(-1) for v in vls]
         # Sort with the INVERTED valid mask as primary key: valid rows form
         # a key-sorted prefix, invalid rows trail. Validity never enters key
         # space, so any real key value (incl. dtype extremes) aggregates
-        # correctly; _boundary_reduce ignores rows past n_valid.
+        # correctly; the boundary reduce ignores rows past n_valid.
         inv = jnp.logical_not(valid).astype(jnp.int32)
         if pallas_local:
-            # values sort as the trailing comparator column — same
-            # semantics as lax.sort num_keys=3 (value order within a group
-            # is irrelevant for sum; min/max read group ends by gather).
-            # Values must be ORDER-NORMALIZED limbs, not a raw bitcast:
-            # as_i32 would order float32/uint32 values by their bit
-            # patterns and min/max would gather the wrong group ends.
+            # measures sort as trailing comparator columns — same
+            # semantics as lax.sort with all columns as keys (within-group
+            # order is irrelevant for sums; min/max on the first measure
+            # read group boundaries by gather). Measures must be
+            # ORDER-NORMALIZED limbs, not a raw bitcast: as_i32 would
+            # order float32/uint32 values by bit patterns and min/max
+            # would gather the wrong group ends.
             limbs = keymod.to_limbs(kf)
-            vlimbs = keymod.to_limbs(vf)
+            vlimb_sets = [keymod.to_limbs(v) for v in vfs]
             out = psort.sort_i32_cols(
-                (inv, *limbs, *vlimbs), interpret=interp)
+                (inv, *limbs, *(c2 for vl in vlimb_sets for c2 in vl)),
+                interpret=interp)
             sk = keymod.from_limbs(list(out[1:1 + len(limbs)]), kf.dtype)
-            sv = keymod.from_limbs(list(out[1 + len(limbs):]), vf.dtype)
+            svs, off = [], 1 + len(limbs)
+            for v, vl in zip(vfs, vlimb_sets):
+                svs.append(keymod.from_limbs(list(out[off:off + len(vl)]),
+                                             v.dtype))
+                off += len(vl)
         else:
-            _, sk, sv = jax.lax.sort([inv, kf, vf], num_keys=3)
+            out = jax.lax.sort([inv, kf, *vfs], num_keys=2 + len(vfs))
+            sk, svs = out[1], list(out[2:])
         n_valid = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)
-        from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce
-        gkeys, table, cnt = _boundary_reduce(sk, sv, num_groups=num_groups,
-                                             agg=agg, n_valid=n_valid,
-                                             vals_in_key_order=True)
-        return gkeys, table, cnt.reshape(1)
+        from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce_cols
+        gkeys, tables, cnt = _boundary_reduce_cols(
+            sk, tuple(svs), num_groups=num_groups, aggs=tuple(aggs),
+            key_ordered=key_ordered, n_valid=n_valid)
+        return gkeys, tables, cnt.reshape(1)
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis),
-                   out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
-    out = fn(*(put_sharded(a, mesh, axis) for a in (counts, k, v)))
+                   out_specs=(P(axis), tuple(P(axis) for _ in values),
+                              P(axis)), check_vma=False)
+    out = fn(*(put_sharded(a, mesh, axis) for a in (counts, k, *vs)))
     return out + (dropped,) if check == "defer" else out

@@ -564,6 +564,66 @@ def test_dist_group_aggregate_defer_jit(mesh8):
     assert got == expect
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_dist_group_aggregate_cols(mesh8, use_pallas):
+    """Multi-measure distributed GROUP BY: one shuffle carries every
+    measure, every agg matches the numpy oracle (Pallas local path runs
+    interpret-mode off-TPU)."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate_cols
+    rng = np.random.RandomState(83)
+    n = 8 * 512
+    keys = rng.randint(0, 60, size=n).astype(np.int32)
+    v1 = rng.randint(-40, 40, size=n).astype(np.int32)
+    v2 = rng.randint(0, 100, size=n).astype(np.int32)
+    gk, (s1, mn1, mx2, c2), cnt = dist_group_aggregate_cols(
+        jnp.asarray(keys), (jnp.asarray(v1), jnp.asarray(v1),
+                            jnp.asarray(v2), jnp.asarray(v2)),
+        ("sum", "min", "max", "count"), mesh8, num_groups=128,
+        capacity=n, use_pallas=use_pallas)
+    gk, cnt = np.asarray(gk), np.asarray(cnt)
+    s1, mn1, mx2, c2 = (np.asarray(x) for x in (s1, mn1, mx2, c2))
+    per = len(gk) // 8
+    got = {}
+    for c in range(8):
+        for i in range(int(cnt[c])):
+            j = c * per + i
+            got[int(gk[j])] = (int(s1[j]), int(mn1[j]), int(mx2[j]),
+                               int(c2[j]))
+    expect = {int(k): (int(v1[keys == k].sum()), int(v1[keys == k].min()),
+                       int(v2[keys == k].max()), int((keys == k).sum()))
+              for k in np.unique(keys)}
+    assert got == expect
+
+
+def test_dist_group_aggregate_cols_defer_jit(mesh8):
+    """check="defer" keeps the multi-measure form jit-traceable."""
+    import jax.numpy as jnp
+    from cl_ops_tpu.parallel.aggregate import dist_group_aggregate_cols
+    rng = np.random.RandomState(84)
+    n = 8 * 256
+    keys = rng.randint(0, 40, size=n).astype(np.int32)
+    v1 = rng.randint(0, 50, size=n).astype(np.int32)
+    fn = jax.jit(lambda k, a: dist_group_aggregate_cols(
+        k, (a, a), ("sum", "mean"), mesh8, num_groups=64, capacity=n,
+        use_pallas=False, check="defer"))
+    gk, (s1, m1), cnt, dropped = fn(jnp.asarray(keys), jnp.asarray(v1))
+    assert int(np.asarray(dropped).sum()) == 0
+    gk, cnt = np.asarray(gk), np.asarray(cnt)
+    s1, m1 = np.asarray(s1), np.asarray(m1)
+    per = len(gk) // 8
+    for c in range(8):
+        for i in range(int(cnt[c])):
+            j = c * per + i
+            k = int(gk[j])
+            assert int(s1[j]) == int(v1[keys == k].sum())
+            assert abs(float(m1[j]) - v1[keys == k].mean()) < 1e-3
+    with pytest.raises(ValueError, match="equal-length"):
+        dist_group_aggregate_cols(jnp.asarray(keys), (jnp.asarray(v1),),
+                                  ("sum", "min"), mesh8, num_groups=8,
+                                  capacity=n)
+
+
 def test_dist_hash_join_expand_defer(mesh8):
     import jax.numpy as jnp
     from cl_ops_tpu.parallel.join import dist_hash_join_expand
