@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1,
                     help="divide all row counts by this (smoke testing)")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7",
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8",
                     help="comma list of config numbers to run (first "
                          "compiles through the tunneled helper are slow; "
                          "running one config per process keeps each run "
@@ -230,6 +230,31 @@ def main(argv=None):
                        + bandprobe.band_pass_traffic_bytes(n, 1)
                        + 6 * 4 * n + psort.sort_traffic_bytes(n, 1))
         emit("rollup_16Mx1M", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
+
+    if 8 in configs:
+        # 8. TPC-H-Q1 shape: filter -> six-aggregate multi-measure GROUP
+        # BY (group_aggregate_cols) over 16M rows / 64K groups in one jit
+        # (not a BASELINE config; covers the multi-measure operator)
+        from cl_ops_tpu.models.pipeline import q1_query
+        n = (1 << 24) // sc
+        g = max((1 << 16) // sc, 16)
+
+        def q1():
+            return q1_query(n, num_groups=g, use_pallas=True)
+
+        # sanity vs the XLA A/B baseline (full checks live in the tests)
+        cnt, gk, tables, gcnt = q1()
+        cnt0, _, tables0, gcnt0 = q1_query(n, num_groups=g,
+                                           use_pallas=False)
+        assert int(cnt) == int(cnt0) and int(gcnt) == int(gcnt0)
+        assert int(tables[0].sum()) == int(tables0[0].sum())
+        dt = _timed(q1, (), runs, sync)
+        # filter partition (3 cols) + aggregate sort (4 cols) + boundary
+        # cumsums/compact + the max(price) (gid, value) re-sort
+        bytes_moved = (psort.sort_traffic_bytes(n, 3)
+                       + psort.sort_traffic_bytes(n, 4)
+                       + 8 * 4 * n + psort.sort_traffic_bytes(n, 2))
+        emit("q1_16Mx64K", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
 
     # Merge with rows from earlier (per-config) runs: replace by metric.
     merged = {}

@@ -91,7 +91,7 @@ def test_bench_all_smoke(capsys, tmp_path, monkeypatch):
     assert metrics == {"sort_u32_1M", "sort_u64kv_16M", "filter_64M_sel10",
                        "aggregate_256M_1Mgroups", "join_probe_16Mx1M",
                        "join_probe_16Mx1M_sorted", "join_expand_16Mx4",
-                       "rollup_16Mx1M"}
+                       "rollup_16Mx1M", "q1_16Mx64K"}
     assert (tmp_path / "BENCH_ALL.json").exists()
 
 
