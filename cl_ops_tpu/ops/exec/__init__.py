@@ -12,8 +12,10 @@ from cl_ops_tpu.ops.exec.aggregate import (group_aggregate_cols,
 from cl_ops_tpu.ops.exec.filter import count_where, filter_compact
 from cl_ops_tpu.ops.exec.join import (hash_join, hash_join_expand,
                                       hash_u32)
+from cl_ops_tpu.ops.exec.window import (WINDOW_AGGS, window_cols,
+                                        window_scan)
 
-__all__ = ["count_where", "filter_compact", "group_aggregate_cols",
-           "group_aggregate_direct",
+__all__ = ["WINDOW_AGGS", "count_where", "filter_compact",
+           "group_aggregate_cols", "group_aggregate_direct",
            "group_aggregate_prefix", "group_aggregate_sorted", "hash_join",
-           "hash_join_expand", "hash_u32"]
+           "hash_join_expand", "hash_u32", "window_cols", "window_scan"]

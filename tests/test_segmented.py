@@ -13,19 +13,30 @@ import pytest
 from cl_ops_tpu.ops.scan import flags_from_segment_ids, segmented_scan_1d
 
 
-def host_segmented_scan(x, flags, sum_dtype, exclusive):
+def _identity(op, sum_dtype):
+    if op == "add":
+        return np.asarray(0, sum_dtype)
+    if np.dtype(sum_dtype).kind == "f":
+        return np.asarray(np.inf if op == "min" else -np.inf, sum_dtype)
+    info = np.iinfo(sum_dtype)
+    return np.asarray(info.max if op == "min" else info.min, sum_dtype)
+
+
+def host_segmented_scan(x, flags, sum_dtype, exclusive, op="add"):
     """Serial oracle with wrapping integer semantics."""
+    fn = {"add": lambda a, b: a + b, "min": np.minimum,
+          "max": np.maximum}[op]
     out = np.zeros(len(x), dtype=sum_dtype)
-    acc = np.asarray(0, sum_dtype)
+    acc = _identity(op, sum_dtype)
     for i in range(len(x)):
         v = np.asarray(x[i], sum_dtype)
         if flags[i]:
-            acc = np.asarray(0, sum_dtype)
+            acc = _identity(op, sum_dtype)
         if exclusive:
             out[i] = acc
-            acc = acc + v
+            acc = fn(acc, v)
         else:
-            acc = acc + v
+            acc = fn(acc, v)
             out[i] = acc
     return out
 
@@ -94,6 +105,37 @@ def test_dtypes(dtype, sum_dtype):
         np.testing.assert_allclose(out, expect, rtol=1e-5)
     else:
         np.testing.assert_array_equal(out, expect)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+@pytest.mark.parametrize("exclusive", [True, False])
+@pytest.mark.parametrize("op", ["min", "max"])
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.float32])
+def test_running_min_max(op, dtype, exclusive, use_pallas):
+    if np.dtype(dtype).kind in "iu":
+        rng = np.random.RandomState(21)
+        lo = 0 if np.dtype(dtype).kind == "u" else -(2 ** 30)
+        x = rng.randint(lo, 2 ** 30, size=3000).astype(dtype)
+        flags = (rng.rand(3000) < 0.03).astype(np.int32)
+    else:
+        x, flags = make_case(3000, 0.03, seed=21, dtype=dtype)
+        x = (x - 0.5).astype(dtype)
+    out = np.asarray(segmented_scan_1d(
+        x, flags, op=op, exclusive=exclusive, block_rows=8,
+        use_pallas=use_pallas))
+    expect = host_segmented_scan(x, flags, dtype, exclusive, op)
+    np.testing.assert_array_equal(out, expect)
+
+
+@pytest.mark.parametrize("op", ["min", "max"])
+def test_min_max_wide_fallback(op):
+    """64-bit accumulators route to the XLA associative_scan path."""
+    rng = np.random.RandomState(23)
+    x = rng.randint(-(2 ** 60), 2 ** 60, size=2000).astype(np.int64)
+    flags = (rng.rand(2000) < 0.05).astype(np.int32)
+    out = np.asarray(segmented_scan_1d(x, flags, op=op, exclusive=False))
+    expect = host_segmented_scan(x, flags, np.int64, False, op)
+    np.testing.assert_array_equal(out, expect)
 
 
 def test_wrapping_mod32():
