@@ -12,7 +12,7 @@ from cl_ops_tpu.parallel.aggregate import (dist_group_aggregate,
                                            dist_group_aggregate_cols)
 from cl_ops_tpu.parallel.join import (dist_hash_join,
                                       dist_hash_join_expand)
-from cl_ops_tpu.parallel.scan import dist_scan
+from cl_ops_tpu.parallel.scan import dist_scan, dist_segmented_scan
 from cl_ops_tpu.parallel.shuffle import partition_exchange
 from cl_ops_tpu.parallel.splitters import (dist_sort_sample,
                                            keyed_exchange_once,
@@ -24,7 +24,8 @@ from cl_ops_tpu.parallel.sort import dist_sort
 __all__ = ["DATA_AXIS", "dist_group_aggregate",
            "dist_group_aggregate_cols", "dist_hash_join",
            "dist_hash_join_expand",
-           "dist_scan", "dist_sort", "dist_sort_sample",
+           "dist_scan", "dist_segmented_scan", "dist_sort",
+           "dist_sort_sample",
            "keyed_exchange_once", "keyed_exchange_replan", "make_mesh",
            "partition_exchange", "plan_splitters",
            "range_partition_exchange", "replicated", "row_sharding"]

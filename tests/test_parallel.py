@@ -66,6 +66,34 @@ def test_dist_scan_pallas_interpret(mesh8):
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
+@pytest.mark.parametrize("use_pallas", [True, False])
+@pytest.mark.parametrize("op,exclusive", [("add", True), ("add", False),
+                                          ("min", False), ("max", True)])
+def test_dist_segmented_scan(mesh8, op, exclusive, use_pallas):
+    """Per-segment scans across shards: flags landing on and off shard
+    boundaries, segments spanning several shards."""
+    from tests.test_segmented import host_segmented_scan
+    rng = np.random.RandomState(17)
+    n = 8 * 512
+    x = rng.randint(0, 1000, size=n).astype(np.uint32)
+    flags = (rng.rand(n) < 0.004).astype(np.int32)  # ~16 flags, long runs
+    flags[512] = 1       # exactly on a shard boundary
+    flags[3 * 512:5 * 512] = 0  # a run spanning >2 shards
+    out = parallel.dist_segmented_scan(
+        x, flags, mesh8, op=op, exclusive=exclusive, use_pallas=use_pallas)
+    expect = host_segmented_scan(x, flags, np.uint32, exclusive, op)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_dist_segmented_scan_no_flags(mesh8):
+    """Degenerates to dist_scan when nothing restarts."""
+    x = np.arange(8 * 64, dtype=np.uint32)
+    out = parallel.dist_segmented_scan(x, np.zeros(8 * 64, np.int32), mesh8,
+                                       exclusive=False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.cumsum(x).astype(np.uint32))
+
+
 def test_dist_sort(mesh8):
     rng = np.random.RandomState(10)
     x = rng.randint(0, 1 << 31, size=8 * 4096, dtype=np.int64).astype(np.uint32)
