@@ -12,10 +12,12 @@ from cl_ops_tpu.ops.exec.aggregate import (group_aggregate_cols,
 from cl_ops_tpu.ops.exec.filter import count_where, filter_compact
 from cl_ops_tpu.ops.exec.join import (hash_join, hash_join_expand,
                                       hash_u32)
+from cl_ops_tpu.ops.exec.topk import distinct, top_k
 from cl_ops_tpu.ops.exec.window import (WINDOW_AGGS, window_cols,
                                         window_scan)
 
-__all__ = ["WINDOW_AGGS", "count_where", "filter_compact",
+__all__ = ["WINDOW_AGGS", "count_where", "distinct", "filter_compact",
            "group_aggregate_cols", "group_aggregate_direct",
            "group_aggregate_prefix", "group_aggregate_sorted", "hash_join",
-           "hash_join_expand", "hash_u32", "window_cols", "window_scan"]
+           "hash_join_expand", "hash_u32", "top_k", "window_cols",
+           "window_scan"]
