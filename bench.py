@@ -16,7 +16,6 @@ Prints exactly ONE JSON line on stdout.
 
 import json
 import sys
-import time
 
 
 def main():
@@ -33,20 +32,19 @@ def main():
     import jax.numpy as jnp
     from cl_ops_tpu.ops import sort as sort_mod
 
+    from cl_ops_tpu.bench.common import time_adaptive
+
     n = 1 << 24
-    runs = 10
     x = jnp.asarray(np.random.RandomState(7).randint(
         0, 1 << 31, size=n, dtype=np.int64).astype(np.uint32))
     small_sum = jax.jit(lambda r: r[:8].astype(jnp.float32).sum())
 
     def timed(fn):
         out = fn(x)
-        float(small_sum(out))  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(runs):
-            out = fn(x)
-        float(small_sum(out))
-        return (time.perf_counter() - t0) / runs, out
+        # RTT-amortizing batch depth (bench/common.py): the tunneled chip
+        # adds ~7 ms/call of fixed overhead at shallow run counts.
+        dt = time_adaptive(fn, (x,), lambda o: float(small_sum(o)))
+        return dt, out
 
     sorter = sort_mod.sort_new("abitonic")
     dt_ours, out = timed(sorter.sort_with_device_data)

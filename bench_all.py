@@ -21,17 +21,19 @@ row count by 8.
 import argparse
 import json
 import sys
-import time
 
 
 def _timed(fn, args, runs, sync):
+    """Per-call seconds; `runs` is the MINIMUM batch depth.
+
+    time_adaptive (bench/common.py) deepens the batch until it fills a
+    ~2 s window, amortizing the tunneled chip's fixed per-batch RTT —
+    without it a 1M-key sort reads 7.5 ms/call instead of its real 1.3.
+    """
+    from cl_ops_tpu.bench.common import time_adaptive
     out = fn(*args)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / runs
+    return time_adaptive(fn, args, sync, min_runs=runs)
 
 
 def main(argv=None):

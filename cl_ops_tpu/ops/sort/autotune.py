@@ -50,6 +50,13 @@ def candidate_geometries(rows: int, n_arrays: int) -> list[tuple[int, int]]:
         if br > rows:
             continue
         for mult in (4, 8, 16, 32):
+            if br == 512 and mult > 8:
+                # 512-row blocks fully unroll a 64K-element sort; stacking
+                # 16x+ merges on top blows up the Mosaic compile (observed
+                # r4: the (512, 8192) candidate hung the server-side
+                # compile >15 min) and every compiled 512-row fat merge
+                # measured slower than its 256-row sibling.
+                continue
             mr = min(br * mult, rows)
             # merge kernel holds ~3 copies of n_arrays blocks; stay under
             # the 100 MiB Mosaic budget with headroom
@@ -119,21 +126,44 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int, bool | None]:
     best = None
     for br, mr, sl in cands:
         ck = f"{br},{mr},sl" if sl else f"{br},{mr}"
+        if done.get(ck) == "pending":
+            # A previous sweep died inside this candidate's compile — the
+            # tunneled server-side Mosaic compile can hang indefinitely
+            # (observed r4). Treat it as infeasible rather than hanging
+            # every future sweep on the same geometry.
+            done[ck] = None
+            disk[partial_key] = done
+            _save(disk)
         if ck not in done:
             try:
+                done[ck] = "pending"
+                disk[partial_key] = done
+                _save(disk)
                 out = run(data, br, mr, sl)
                 float(small(out[0]))  # compile + sync
+                # RTT-amortizing depth (see bench/common.py time_adaptive):
+                # a 3-run batch over the tunnel measures mostly the fixed
+                # sync round trip at small shapes and ranks candidates by
+                # noise. One probe batch sizes the real batch to ~1 s.
                 t0 = time.perf_counter()
                 for _ in range(3):
                     out = run(data, br, mr, sl)
                 float(small(out[0]))
-                done[ck] = (time.perf_counter() - t0) / 3
+                dt = (time.perf_counter() - t0) / 3
+                reps = max(3, min(200, int(1.0 / max(dt, 1e-7))))
+                if reps > 3:
+                    t0 = time.perf_counter()
+                    for _ in range(reps):
+                        out = run(data, br, mr, sl)
+                    float(small(out[0]))
+                    dt = (time.perf_counter() - t0) / reps
+                done[ck] = dt
             except Exception:
                 done[ck] = None  # infeasible geometry: never retry
             disk[partial_key] = done
             _save(disk)
         dt = done[ck]
-        if dt is not None and (best is None or dt < best[0]):
+        if isinstance(dt, (int, float)) and (best is None or dt < best[0]):
             best = (dt, br, mr, sl)
     if best is None:
         br = min(512, rows)

@@ -642,9 +642,15 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
 
     if fused:
         if single_launch is None:
-            single_launch = (total_rows > block_rows and
-                             total_rows * len(arrs2d)
-                             <= SINGLE_LAUNCH_MAX_ROWS)
+            # Auto resolves to OFF: on v5e the whole-VMEM loop-traced kernel
+            # measured 19.0 ms vs 1.3 ms for the two-tier schedule at 8192
+            # rows (r4) — traced-J steps pay dynamic lane gathers every
+            # step, where the unrolled kernels get static shifts. The
+            # launch-count argument it was built on was a measurement
+            # artifact of shallow timing batches over the tunnel RTT
+            # (bench/common.py time_adaptive). Opt in via single_launch=1;
+            # the autotuner still competes it per shape.
+            single_launch = False
         if single_launch:
             return _call_per_block(_vmem_sort_kernel, arrs2d, 1, total_rows,
                                    interpret)
@@ -715,8 +721,7 @@ def fused_traffic_bytes(n_padded: int, n_arrays: int, block_rows: int,
     per = n_padded * 4 * n_arrays
     total_rows = n_padded // LANES
     if single_launch is None:
-        single_launch = (total_rows > block_rows
-                         and total_rows * n_arrays <= SINGLE_LAUNCH_MAX_ROWS)
+        single_launch = False  # lockstep with bitonic_sort_2d's auto = off
     if single_launch:
         return 2 * per  # single-launch whole-VMEM sort: one sweep
     n = n_padded

@@ -23,3 +23,11 @@ import jax  # noqa: E402
 # overriding the env var — force CPU again post-import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Never write the persistent compile cache from tests: in-process bench-CLI
+# tests (test_bench_cli.py) set jax_compilation_cache_dir for the TPU use
+# case, and serializing a CPU shard_map+Pallas executable for that cache
+# segfaults jaxlib 0.9 (observed: put_executable_and_time ->
+# executable.serialize() SIGSEGV). Disabling the cache master switch here
+# keeps later config updates inert for the whole suite.
+jax.config.update("jax_enable_compilation_cache", False)
