@@ -78,6 +78,12 @@ class Sorter:
         self._key_fn = key_fn
         self._options = options
         self._limb_sorter = impl.make_limb_sorter(spec, options)
+        # One end-to-end jit per (n, values dtype): key normalization, the
+        # sort, and key restoration dispatch as a SINGLE call. Issued
+        # separately they cost ~3 enqueue round trips per sort on the
+        # tunneled chip — more than a 1M-key sort itself (r4 measurement:
+        # 2.3 ms/call vs 1.0 ms for the fused form).
+        self._jit_cache: dict = {}
 
     # -- introspection (parity: clo_sort_abstract.in.h:147-170) --------------
     @property
@@ -123,11 +129,30 @@ class Sorter:
         if values is not None and values.shape[0] != data.shape[0]:
             raise BadArgsError("values length must match data length")
 
+        if self._key_fn is not None:
+            # Validate the key extractor's dtype eagerly (outside the jit)
+            # so the error is a BadArgsError, not a trace-time surprise.
+            probe = jax.eval_shape(self._key_fn, data)
+            if jnp.dtype(probe.dtype) != self.spec.key_dtype:
+                raise BadArgsError(
+                    f"key_fn produced dtype {probe.dtype}, expected "
+                    f"{self.spec.key_dtype}")
+
+        ck = (data.shape[0],
+              None if values is None else jnp.dtype(values.dtype))
+        if ck not in self._jit_cache:
+            if values is None:
+                self._jit_cache[ck] = jax.jit(
+                    lambda d: self._sort_traced(d, None))
+            else:
+                self._jit_cache[ck] = jax.jit(self._sort_traced)
+        if values is None:
+            return self._jit_cache[ck](data)
+        return self._jit_cache[ck](data, values)
+
+    def _sort_traced(self, data, values):
+        """Whole sort as one traceable body (jitted by the entry point)."""
         raw_keys = self._key_fn(data) if self._key_fn is not None else data
-        if jnp.dtype(raw_keys.dtype) != self.spec.key_dtype:
-            raise BadArgsError(
-                f"key_fn produced dtype {raw_keys.dtype}, expected "
-                f"{self.spec.key_dtype}")
         limbs = keymod.to_limbs(raw_keys)
         if not self.spec.ascending:
             limbs = [~l for l in limbs]  # complement reverses unsigned order
