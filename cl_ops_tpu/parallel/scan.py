@@ -130,7 +130,11 @@ def dist_segmented_scan(x, flags, mesh: Mesh, *, sum_dtype=None, op="add",
         live = (idx < me) & (idx >= start)
         masked = jnp.where(live, tails, jnp.full_like(tails, ident))
         if op == "add":
-            carry = jnp.sum(masked)
+            # dtype= pins the accumulator: jnp.sum otherwise promotes
+            # sub-default ints (u32 under x64) and the widened carry would
+            # leak into the output dtype, breaking the documented
+            # "returns sum_dtype" contract.
+            carry = jnp.sum(masked, dtype=sum_dtype)
         elif op == "min":
             carry = jnp.min(masked)
         else:

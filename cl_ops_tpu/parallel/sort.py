@@ -20,6 +20,8 @@ result is deterministic (SURVEY.md §7 carry-ordering requirement).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -78,15 +80,20 @@ def _local_merge_pallas(arrs, block_rows, interpret):
     return tuple(a.reshape(-1) for a in out)
 
 
-def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
-              ascending: bool = True, use_pallas: bool | None = None,
-              block_rows: int = 1024):
-    """Sort a row-sharded 1-D array across the mesh.
+def dist_sort_i32_cols(cols, mesh: Mesh, *, axis: str = DATA_AXIS,
+                       use_pallas: bool | None = None,
+                       block_rows: int = 1024):
+    """Lexicographic global sort of row-sharded i32 columns (hypercube).
 
-    Returns the globally sorted array with the same sharding (and reordered
-    values if given). Length must divide evenly by the mesh axis size, and
-    the per-chip shard length must be a power of two times 128 when the
-    Pallas local path is used.
+    The tuple-level primitive under dist_sort — the distributed sibling of
+    psort.sort_i32_cols: EVERY column participates in the comparison in
+    order, so put a unique column (e.g. a global position iota) ahead of
+    inert payload columns, exactly like the single-chip psort discipline.
+    Returns the sorted columns with the same sharding. Lengths must divide
+    evenly by the mesh axis; shards pad internally to a power of two (the
+    hypercube merge is a bitonic network — XOR-partner gathers on a
+    non-po2 shard would silently clamp out of range) with all-lex-max
+    sentinel rows that sort to the global tail and are sliced off.
     """
     if use_pallas is None:
         from cl_ops_tpu.utils.platform import on_tpu
@@ -94,27 +101,25 @@ def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
     n_chips = mesh.shape[axis]
     if not is_po2(n_chips):
         raise ValueError(f"mesh axis size {n_chips} must be a power of 2")
-    n = x.shape[0]
+    n = cols[0].shape[0]
     if n % n_chips:
         raise ValueError(f"length {n} not divisible by {n_chips} chips")
+    shard_n = n // n_chips
+    from cl_ops_tpu.ops.sort import bitonic_kernels as bk
+    from cl_ops_tpu.utils.bits import nlpo2
+    target = nlpo2(shard_n)
+    if use_pallas:
+        target = max(target, bk.MIN_ROWS * bk.LANES)
+    pad = target - shard_n
 
     from cl_ops_tpu.utils.platform import pallas_interpret
     interpret = pallas_interpret()
-    limbs = keymod.to_limbs(x)
-    if not ascending:
-        limbs = [~l for l in limbs]
-    n_limbs = len(limbs)
-    needs_payload = values is not None or n_limbs > 1
-    if needs_payload:
-        # iota_sharded, not a host-local iota: multi-process global inputs
-        # can only combine with arrays materialized in the same sharding
-        payload = iota_sharded(n, mesh, axis)
-        arrs = tuple(limbs) + (payload,)
-    else:
-        arrs = tuple(limbs)
 
     def local_fn(*arrs_in):
         arrs_l = tuple(a.reshape(-1) for a in arrs_in)
+        if pad:
+            mx = jnp.full((pad,), jnp.int32(2 ** 31 - 1))
+            arrs_l = tuple(jnp.concatenate([a, mx]) for a in arrs_l)
         me = jax.lax.axis_index(axis)
         if use_pallas:
             arrs_l = _local_sort_pallas(arrs_l, block_rows, interpret)
@@ -144,7 +149,48 @@ def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
-    out = fn(*(put_sharded(a, mesh, axis) for a in arrs))
+    out = fn(*(put_sharded(a, mesh, axis) for a in cols))
+    if pad:
+        # Sentinel rows occupy the global tail of the padded sort; slicing
+        # the first n rows back to even shards is one resharding jit (the
+        # iota_sharded discipline keeps it multi-process safe).
+        out = tuple(_unpad_fn(n, mesh, axis)(c) for c in out)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _unpad_fn(n: int, mesh: Mesh, axis: str):
+    from jax.sharding import NamedSharding
+    return jax.jit(lambda c: c[:n],
+                   out_shardings=NamedSharding(mesh, P(axis)))
+
+
+def dist_sort(x, mesh: Mesh, values=None, *, axis: str = DATA_AXIS,
+              ascending: bool = True, use_pallas: bool | None = None,
+              block_rows: int = 1024):
+    """Sort a row-sharded 1-D array across the mesh.
+
+    Returns the globally sorted array with the same sharding (and reordered
+    values if given). Length must divide evenly by the mesh axis size, and
+    the per-chip shard length must be a power of two times 128 when the
+    Pallas local path is used.
+    """
+    n = x.shape[0]
+    limbs = keymod.to_limbs(x)
+    if not ascending:
+        limbs = [~l for l in limbs]
+    n_limbs = len(limbs)
+    needs_payload = values is not None or n_limbs > 1
+    if needs_payload:
+        # iota_sharded, not a host-local iota: multi-process global inputs
+        # can only combine with arrays materialized in the same sharding
+        payload = iota_sharded(n, mesh, axis)
+        arrs = tuple(limbs) + (payload,)
+    else:
+        arrs = tuple(limbs)
+
+    out = dist_sort_i32_cols(arrs, mesh, axis=axis, use_pallas=use_pallas,
+                             block_rows=block_rows)
 
     out_limbs = list(out[:n_limbs])
     if not ascending:
