@@ -176,6 +176,18 @@ def main(argv=None):
         emit("join_probe_16Mx1M_sorted", m / dts / 1e6, "Mrows/s", dts,
              psort.sort_traffic_bytes(m, 2)
              + bandprobe.band_pass_traffic_bytes(m, 1))
+        # serving form: defer_overflow keeps the band-overflow check off
+        # the critical path (flag read once per batch, asserted clean
+        # below) — without it every call pays a mid-pipeline host sync
+        jfd = lambda p: ex.hash_join(sdk, sdv, p, build_sorted=True,  # noqa
+                                     sorted_output=True,
+                                     defer_overflow=True)
+        ovf = jfd(probe)[-1]
+        assert not bool(ovf), "band overflow in the bench config"
+        dtd = _timed(jfd, (probe,), runs, sync)
+        emit("join_probe_16Mx1M_deferred", m / dtd / 1e6, "Mrows/s", dtd,
+             psort.sort_traffic_bytes(m, 2)
+             + bandprobe.band_pass_traffic_bytes(m, 1))
 
     if 6 in configs:
         # 6. full join expansion: 16M probes x 4 matches each against a
@@ -257,6 +269,11 @@ def main(argv=None):
                        + psort.sort_traffic_bytes(n, 4)
                        + 8 * 4 * n + psort.sort_traffic_bytes(n, 2))
         emit("q1_16Mx64K", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
+
+    if args.scale != 1:
+        # smoke-test mode: never let scaled-down rows overwrite the real
+        # measurements in BENCH_ALL.json
+        return 0
 
     # Merge with rows from earlier (per-config) runs: replace by metric.
     merged = {}

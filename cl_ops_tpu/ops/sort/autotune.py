@@ -158,7 +158,10 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int, bool | None]:
                     float(small(out[0]))
                     dt = (time.perf_counter() - t0) / reps
                 done[ck] = dt
-            except Exception:
+            except Exception as e:
+                import logging
+                logging.getLogger("cl_ops_tpu.sort").warning(
+                    "autotune candidate %s for %s failed: %r", ck, key, e)
                 done[ck] = None  # infeasible geometry: never retry
             disk[partial_key] = done
             _save(disk)

@@ -65,18 +65,26 @@ def dist_top_k(values, k: int, mesh: Mesh, *payload_cols,
                    check_vma=False)
     cand = fn(put_sharded(values, mesh, axis), gpos,
               *(put_sharded(c, mesh, axis) for c in enc))
+
     # cand: (vals, gpos, *enc payloads), each (n_chips * kk,) global rows.
-    cl = keymod.to_limbs(cand[0])
-    if largest:
-        cl = [jnp.int32(-1) ^ c for c in cl]
-    cols = (*cl, cand[1], *cand[2:])
-    merged = tuple(jax.lax.sort(list(cols), num_keys=len(cl) + 1))
-    vl = [c[:k] for c in merged[:len(cl)]]
-    if largest:
-        vl = [jnp.int32(-1) ^ c for c in vl]
-    out_vals = keymod.from_limbs(vl, values.dtype)
-    pays = psort.cols_from_i32([c[:k] for c in merged[len(cl) + 1:]], spec)
-    return (out_vals, *pays)
+    # The merge runs replicated (out_shardings P()) so every process of a
+    # multi-process mesh can read the k-row result directly.
+    def merge(cvals, cgpos, *cenc):
+        cl = keymod.to_limbs(cvals)
+        if largest:
+            cl = [jnp.int32(-1) ^ c for c in cl]
+        cols = (*cl, cgpos, *cenc)
+        merged = tuple(jax.lax.sort(list(cols), num_keys=len(cl) + 1))
+        vl = [c[:k] for c in merged[:len(cl)]]
+        if largest:
+            vl = [jnp.int32(-1) ^ c for c in vl]
+        out_vals = keymod.from_limbs(vl, values.dtype)
+        pays = psort.cols_from_i32([c[:k] for c in merged[len(cl) + 1:]],
+                                   spec)
+        return (out_vals, *pays)
+
+    from jax.sharding import NamedSharding
+    return jax.jit(merge, out_shardings=NamedSharding(mesh, P()))(*cand)
 
 
 def dist_distinct(keys, mesh: Mesh, *, capacity: int,
@@ -111,4 +119,8 @@ def dist_distinct(keys, mesh: Mesh, *, capacity: int,
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
     cand = fn(put_sharded(keys, mesh, axis))
-    return distinct(cand, capacity=capacity, use_pallas=use_pallas)
+    # replicated merge, readable from every process (see dist_top_k)
+    from jax.sharding import NamedSharding
+    return jax.jit(
+        lambda c: distinct(c, capacity=capacity, use_pallas=use_pallas),
+        out_shardings=NamedSharding(mesh, P()))(cand)

@@ -125,6 +125,30 @@ def main(pid: int, nproc: int, port: int) -> None:
                 expect_pairs.append((i, int(bval)))
     assert sorted(got) == sorted(expect_pairs)
 
+    # --- distributed window functions across processes: the global sort's
+    # compare-split ppermutes AND the segmented-scan carries cross DCN
+    wkeys = (keys % 5).astype(np.uint32)
+    gwk = multiproc.from_process_local(wkeys[lo:hi], mesh)
+    worder = multiproc.from_process_local(vals[lo:hi], mesh)
+    (wsum,) = parallel.dist_window_cols(gwk, worder, (worder,), ("sum",),
+                                        mesh, use_pallas=False)
+    # serial oracle: running sum per (key) partition in (order, pos) order
+    osum = np.zeros(n, np.int64)
+    for u in np.unique(wkeys):
+        idx = np.nonzero(wkeys == u)[0]
+        idx = idx[np.argsort(vals[idx], kind="stable")]
+        osum[idx] = np.cumsum(vals[idx].astype(np.int64))
+    np.testing.assert_array_equal(
+        multiproc.local_rows(wsum).astype(np.int64), osum[lo:hi])
+
+    # --- distributed top-k and distinct (candidate merges cross DCN)
+    gk3 = multiproc.from_process_local(k[lo:hi], mesh)
+    tvals, = parallel.dist_top_k(gk3, 8, mesh, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(tvals), np.sort(k)[:8])
+    uq, ucnt = parallel.dist_distinct(gwk, mesh, capacity=16,
+                                      use_pallas=False)
+    assert int(np.asarray(ucnt)) == len(np.unique(wkeys))
+
     print(f"MP_OK_{pid}", flush=True)
 
 

@@ -90,9 +90,11 @@ def test_bench_all_smoke(capsys, tmp_path, monkeypatch):
     metrics = {l["metric"] for l in lines}
     assert metrics == {"sort_u32_1M", "sort_u64kv_16M", "filter_64M_sel10",
                        "aggregate_256M_1Mgroups", "join_probe_16Mx1M",
-                       "join_probe_16Mx1M_sorted", "join_expand_16Mx4",
+                       "join_probe_16Mx1M_sorted",
+                       "join_probe_16Mx1M_deferred", "join_expand_16Mx4",
                        "rollup_16Mx1M", "q1_16Mx64K"}
-    assert (tmp_path / "BENCH_ALL.json").exists()
+    # scaled smoke runs must NOT touch the real measurement file
+    assert not (tmp_path / "BENCH_ALL.json").exists()
 
 
 def test_scaling_bench_cli(tmp_path):
