@@ -46,7 +46,19 @@ def main():
         dt = time_adaptive(fn, (x,), lambda o: float(small_sum(o)))
         return dt, out
 
-    sorter = sort_mod.sort_new("abitonic")
+    # Use the autotuned geometry when this chip's sweep is already cached
+    # (ops/sort/autotune.py persists winners per device/shape); never
+    # trigger a sweep from the headline bench — a fresh sweep costs ~1 h
+    # of tunneled compiles and can hang on a bad compile-helper day.
+    opts = None
+    try:
+        from cl_ops_tpu.ops.sort.autotune import _load
+        kind = jax.devices()[0].device_kind.replace(" ", "_")
+        if f"{kind}:{n // 128}x1" in _load():
+            opts = "autotune=1"
+    except Exception:
+        pass
+    sorter = sort_mod.sort_new("abitonic", opts)
     dt_ours, out = timed(sorter.sort_with_device_data)
     ok = bool(np.all(np.diff(np.asarray(out).astype(np.int64)) >= 0))
     assert ok, "sort verification failed"
@@ -57,7 +69,8 @@ def main():
     # traffic, report achieved GB/s and fraction of the measured ceiling.
     from cl_ops_tpu.bench.roofline import stream_ceiling_gbs
     from cl_ops_tpu.ops.sort.bitonic import abitonic_traffic_bytes
-    bytes_moved = abitonic_traffic_bytes(n, 1)
+    bytes_moved = abitonic_traffic_bytes(
+        n, 1, {"autotune": "1"} if opts else None)
     gb_s = bytes_moved / dt_ours / 1e9
     ceiling = stream_ceiling_gbs()
 

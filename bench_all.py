@@ -228,11 +228,15 @@ def main(argv=None):
         nd = max((1 << 20) // sc, 64)
 
         def rq():
-            return rollup_query(n, dim_rows=nd, use_pallas=True)
+            # serving form: band-overflow flag returned async (asserted
+            # clean below) instead of a host sync per call
+            return rollup_query(n, dim_rows=nd, use_pallas=True,
+                                defer=True)
 
         # sanity: group count and measure total must match the XLA A/B
         # baseline (full-output equality is the test suite's job)
-        gk, table, cnt = rq()
+        gk, table, cnt, ovf = rq()
+        assert not bool(ovf), "band overflow in the bench config"
         gk0, table0, cnt0 = rollup_query(n, dim_rows=nd, use_pallas=False)
         assert int(cnt) == int(cnt0), (int(cnt), int(cnt0))
         assert int(table.sum()) == int(table0.sum())

@@ -151,7 +151,7 @@ def q1_query(n: int, num_groups: int = 64, seed: int = 0,
 
 
 def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, defer: bool = False):
     """SELECT f.key, SUM(f.measure) FROM fact f SEMI JOIN dim d
     ON f.key = d.key GROUP BY f.key — the big-dimension rollup.
 
@@ -190,6 +190,11 @@ def rollup_query(n: int, dim_rows: int = 1 << 20, seed: int = 0,
             keys_sorted=True, use_pallas=use_pallas), ovf
 
     out, ovf = run("banded" if use_pallas else "merge")
+    if defer:
+        # serving form: the caller checks the band-overflow flag
+        # asynchronously (all-false ⇔ the answer equals the planning
+        # form's) instead of paying a host sync round trip per call
+        return out + (ovf,)
     if bool(ovf):  # extreme skew overflowed a band window: exact fallback
         out, _ = run("merge")
     return out
