@@ -49,7 +49,8 @@ import sys
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="scan,sort,join,aggregate",
-                   help="comma list of scan,sort,join,aggregate")
+                   help="comma list of scan,sort,join,aggregate,"
+                        "window,topk")
     p.add_argument("--devices", default="",
                    help="comma list of mesh sizes (default: powers of 2 "
                         "up to the available device count)")
@@ -254,6 +255,34 @@ def _mp_worker(args) -> int:
                 assert bool(fl.all()), "join missed rows"
                 assert np.array_equal(multiproc.local_rows(vals_o),
                                       pk[lo:hi] * 2 + 1)
+        elif op == "window":
+            from cl_ops_tpu.parallel import dist_window_cols
+            keys = rng.randint(0, args.groups, size=n).astype(np.uint32)
+            order = rng.randint(0, 1 << 20, size=n).astype(np.int32)
+            vals = np.ones(n, np.int32)
+            fn = jax.jit(lambda a, o, v: dist_window_cols(
+                a, o, (v,), ("sum",), mesh, use_pallas=use_pallas))
+            fargs = (local(keys), local(order), local(vals))
+
+            def check(out, keys=keys):
+                (sums,) = out
+                s = multiproc.local_rows(sums)
+                kl = keys[lo:hi]
+                expect = np.bincount(keys, minlength=args.groups)
+                # every local row's running sum is within its partition
+                # count (full-equality oracle lives in tests/mp_worker.py)
+                assert bool((s <= expect[kl]).all()), "window overran count"
+        elif op == "topk":
+            from cl_ops_tpu.parallel import dist_top_k
+            x = common.rand_array(np.uint32, n, args.rng_seed)
+            kk = min(128, n // k)
+            fn = jax.jit(lambda a: dist_top_k(a, kk, mesh,
+                                              use_pallas=use_pallas))
+            fargs = (local(x),)
+
+            def check(out, x=x):
+                (tv,) = out
+                assert np.array_equal(np.asarray(tv), np.sort(x)[:kk])
         else:
             raise SystemExit(f"unknown op {op!r}")
         secs = common.time_async(fn, fargs, args.runs,
@@ -373,6 +402,37 @@ def main(argv=None):
                 assert np.array_equal(np.asarray(vals_o),
                                       pk * 2 + 1), "join values wrong"
             return fn, (bka, bva, pka), n, check
+        if op == "window":
+            from cl_ops_tpu.parallel import dist_window_cols
+            keys = rng.randint(0, args.groups, size=n).astype(np.uint32)
+            order = rng.randint(0, 1 << 20, size=n).astype(np.int32)
+            vals = np.ones(n, np.int32)
+            ka, oa, va = (put_sharded(a, mesh) for a in (keys, order, vals))
+            fn = jax.jit(lambda a, o, v: dist_window_cols(
+                a, o, (v,), ("sum",), mesh, use_pallas=use_pallas))
+
+            def check(out):
+                (sums,) = out
+                # per-partition running sums of ones end at the count
+                got = np.zeros(args.groups, np.int64)
+                s = np.asarray(sums)
+                np.maximum.at(got, keys, s)
+                expect = np.bincount(keys, minlength=args.groups)
+                assert np.array_equal(got, expect), "window mismatch"
+            return fn, (ka, oa, va), n, check
+        if op == "topk":
+            from cl_ops_tpu.parallel import dist_top_k
+            x = put_sharded(common.rand_array(np.uint32, n,
+                                              args.rng_seed), mesh)
+            kk = min(128, shard)
+            fn = jax.jit(lambda a: dist_top_k(a, kk, mesh,
+                                              use_pallas=use_pallas))
+
+            def check(out):
+                (tv,) = out
+                assert np.array_equal(np.asarray(tv),
+                                      np.sort(np.asarray(x))[:kk])
+            return fn, (x,), n, check
         raise SystemExit(f"unknown op {op!r}")
 
     results = []
