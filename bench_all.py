@@ -243,10 +243,11 @@ def main(argv=None):
         dt = _timed(rq, (), runs, sync)
         from cl_ops_tpu.ops.exec import bandprobe
         # probe sort (key + pos + 2 payload cols) + band pass + the
-        # aggregate's boundary-reduce passes (cumsum + ends compact)
+        # aggregate's boundary-reduce passes (cumsums + searchsorted
+        # ends — the n-row ends-compaction sort is gone)
         bytes_moved = (psort.sort_traffic_bytes(n, 4)
                        + bandprobe.band_pass_traffic_bytes(n, 1)
-                       + 6 * 4 * n + psort.sort_traffic_bytes(n, 1))
+                       + 8 * 4 * n)
         emit("rollup_16Mx1M", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
 
     if 8 in configs:
@@ -267,11 +268,10 @@ def main(argv=None):
         assert int(cnt) == int(cnt0) and int(gcnt) == int(gcnt0)
         assert int(tables[0].sum()) == int(tables0[0].sum())
         dt = _timed(q1, (), runs, sync)
-        # filter partition (3 cols) + aggregate sort (4 cols) + boundary
-        # cumsums/compact + the max(price) (gid, value) re-sort
-        bytes_moved = (psort.sort_traffic_bytes(n, 3)
-                       + psort.sort_traffic_bytes(n, 4)
-                       + 8 * 4 * n + psort.sort_traffic_bytes(n, 2))
+        # ONE fused (validity, key, qty, price) sort + boundary passes:
+        # prev-compare, is_new/end_rank/count cumsums, 2 sum cumsums,
+        # the segmented max(price) scan (2 sweeps), ends gathers
+        bytes_moved = psort.sort_traffic_bytes(n, 4) + 12 * 4 * n
         emit("q1_16Mx64K", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
 
     if args.scale != 1:

@@ -123,11 +123,13 @@ def q1_query(n: int, num_groups: int = 64, seed: int = 0,
     AVG(price) FROM t WHERE qty < threshold GROUP BY key — the TPC-H-Q1
     shape: a multi-measure aggregate over a filtered scan, in ONE jit.
 
-    Exercises group_aggregate_cols end-to-end: the filtered rows sort
-    ONCE by (validity, key, qty, price) and all six aggregates reduce
-    against one shared boundary scan (qty, the secondary sort key, gets
-    its MIN as a free boundary gather; MAX(price) pays the one extra
-    (group_id, value) column sort).
+    Exercises group_aggregate_cols end-to-end in its FUSED filter form:
+    the WHERE mask rides as the leading sort column (valid_mask=), so the
+    pipeline pays ONE (validity, key, qty, price) sort total — no
+    separate filter_compact partition. All six aggregates reduce against
+    one shared boundary scan (qty, the secondary sort key, gets its MIN
+    as a free boundary gather; MAX(price) reduces through one segmented
+    max scan).
 
     Returns (count, group_keys, tables, group_count): tables is the
     6-tuple of aggregate columns in the SELECT order above.
@@ -140,13 +142,12 @@ def q1_query(n: int, num_groups: int = 64, seed: int = 0,
            % jnp.uint32(1024)).astype(jnp.int32)
     price = (threefry.random_bits(seed, ids, jnp.uint32(2))
              % jnp.uint32(10000)).astype(jnp.int32)
-    count, fq, fp, fk = flt.filter_compact(
-        qty, lambda q: q < jnp.int32(threshold), price, keys,
-        use_pallas=use_pallas)
+    mask = qty < jnp.int32(threshold)
+    count = jnp.sum(mask.astype(jnp.int32))
     gk, tables, gcnt = agm.group_aggregate_cols(
-        fk, (fq, fp, fq, fp, fq, fp),
+        keys, (qty, price, qty, price, qty, price),
         ("sum", "sum", "min", "max", "count", "mean"),
-        num_groups=num_groups, n_valid=count, use_pallas=use_pallas)
+        num_groups=num_groups, valid_mask=mask, use_pallas=use_pallas)
     return count, gk, tables, gcnt
 
 

@@ -160,7 +160,8 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
 
 
 def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
-                         n_valid=None, use_pallas: bool = True,
+                         n_valid=None, valid_mask=None,
+                         use_pallas: bool = True,
                          keys_sorted: bool = False):
     """Multi-measure GROUP BY: one input sort, one boundary scan, one
     reduction per (column, agg) — the SELECT sum(a), min(b), count(*)
@@ -172,11 +173,16 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
     Rows sort by (key, values...) on normalized limbs through the
     flagship Pallas bitonic (use_pallas=False: same algorithm on
     lax.sort), so the FIRST column additionally rides the key order and
-    its min/max are free boundary gathers; later min/max columns each pay
-    one (group_id, value) sort. n_valid aggregates only rows < n_valid
-    after partitioning validity to the front (the filter_compact
-    composer). keys_sorted=True consumes pre-grouped rows (e.g.
-    hash_join sorted_output + probe_cols) with no input sort at all.
+    its min/max are free boundary gathers; later min/max columns reduce
+    through one segmented min/max scan each. n_valid aggregates only rows
+    < n_valid after partitioning validity to the front (the
+    filter_compact composer). valid_mask aggregates only rows where the
+    boolean mask holds — the FUSED filter form: validity becomes the
+    leading sort column directly, so a WHERE + GROUP BY pipeline pays no
+    separate filter_compact partition at all (its row count is returned
+    by count_where or jnp.sum of the mask). keys_sorted=True consumes
+    pre-grouped rows (e.g. hash_join sorted_output + probe_cols) with no
+    input sort at all.
 
     Returns (group_keys, tables, count): tables is a tuple aligned with
     `values`; the first `count` rows of each hold one aggregate per
@@ -187,9 +193,11 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
     for a in aggs:
         if a not in _AGGS:
             raise ValueError(f"unknown agg {a!r}")
-    if keys_sorted and n_valid is not None:
-        raise ValueError("n_valid requires the sorting path "
+    if keys_sorted and (n_valid is not None or valid_mask is not None):
+        raise ValueError("n_valid/valid_mask require the sorting path "
                          "(keys_sorted=False)")
+    if n_valid is not None and valid_mask is not None:
+        raise ValueError("pass n_valid or valid_mask, not both")
     if keys.shape[0] == 0:
         def table_dt(v, a):
             if a == "count":
@@ -213,18 +221,26 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
     key_ordered = tuple(i == 0 or v is values[0]
                         for i, v in enumerate(values))
     return _group_aggregate_cols_sort(
-        keys, tuple(values), n_valid, num_groups=num_groups,
+        keys, tuple(values), n_valid, valid_mask, num_groups=num_groups,
         aggs=tuple(aggs), key_ordered=key_ordered, use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
                                              "key_ordered", "use_pallas"))
-def _group_aggregate_cols_sort(keys, values, n_valid, *, num_groups: int,
-                               aggs, key_ordered, use_pallas: bool):
+def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
+                               num_groups: int, aggs, key_ordered,
+                               use_pallas: bool):
     kl = keymod.to_limbs(keys)
     vls = [keymod.to_limbs(v) for v in values]
     n = keys.shape[0]
-    if n_valid is not None:
+    if valid_mask is not None:
+        # fused filter: the mask IS the leading sort column; valid rows
+        # land in a prefix of length sum(mask), same as n_valid below
+        inv = jnp.int32(1) - valid_mask.astype(jnp.int32)
+        n_valid = jnp.sum(valid_mask.astype(jnp.int32))
+        cols = (inv, *kl, *(c for vl in vls for c in vl))
+        skip = 1
+    elif n_valid is not None:
         inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
                >= n_valid).astype(jnp.int32)
         cols = (inv, *kl, *(c for vl in vls for c in vl))
@@ -304,20 +320,17 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
     next_is_new = jnp.concatenate([is_new[1:], ones1])
     next_invalid = jnp.concatenate([jnp.logical_not(valid)[1:], ones1])
     is_end = valid & (next_is_new | next_invalid)
-    # compact end positions to the front, in order (stable partition)
-    if use_pallas and 2 * n < 2 ** 31:
-        comb = psort.flag_pos_key(
-            jnp.logical_not(is_end).astype(jnp.int32), n)
-        es = psort.sort_i32_cols((comb,))[0]
-        ends_all = jnp.where(es < n, es, es - jnp.int32(n))
-    else:
-        ends_all = jax.lax.sort(
-            [jnp.logical_not(is_end).astype(jnp.int32), pos],
-            num_keys=1, is_stable=True)[1]
-    ends = ends_all[:num_groups] if n >= num_groups else jnp.pad(
-        ends_all, (0, num_groups - n), constant_values=n - 1)
-    valid_g = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0) < count
-    ends = jnp.where(valid_g, ends, n - 1)
+    # End position of group g = position of the (g+1)-th end flag. The
+    # running end count is nondecreasing, so a binary search finds it:
+    # O(num_groups * log n) vectorized gathers instead of the n-row
+    # stable-partition sort this used to pay (one full psort pass saved
+    # per boundary reduce).
+    end_rank = jnp.cumsum(is_end.astype(jnp.int32))
+    gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
+    ends_all = jnp.searchsorted(end_rank, gi + 1,
+                                side="left").astype(jnp.int32)
+    valid_g = gi < count
+    ends = jnp.where(valid_g, jnp.minimum(ends_all, n - 1), n - 1)
     group_keys = jnp.take(skeys, ends)
     starts_g = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
 
@@ -341,20 +354,37 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
                 jnp.asarray(_init_scalar(sv.dtype, agg), sv.dtype)))
             continue
         if agg in ("min", "max"):
-            # values in arbitrary within-group order: one (group_id,
-            # value) column sort; group_id is nondecreasing in the
-            # key-sorted input, so run boundaries come from searchsorted
-            # over num_groups queries (cheap next to n). Invalid rows
-            # take group id num_groups: they sort past every real run.
+            # values in arbitrary within-group order: an INCLUSIVE
+            # segmented min/max scan restarted at each group boundary
+            # makes the value at a group's END position its group
+            # min/max — 2 HBM sweeps (ops/scan/segmented.py) instead of
+            # the (group_id, value) column sort this used to pay.
+            # Invalid rows sit past every group's end position, so their
+            # values never reach a gathered slot. 64-bit values keep the
+            # sort (the segmented kernel has no 64-bit registers and its
+            # XLA fallback is log-n passes — worse than one sort);
+            # half-precision floats keep it too (no f16 accumulator).
+            dt_ = jnp.dtype(sv.dtype)
+            seg_ok = (dt_.kind in "iu" and dt_.itemsize <= 4) or \
+                dt_ == jnp.float32
+            if seg_ok:
+                from cl_ops_tpu.ops.scan.segmented import segmented_scan_1d
+                seg = segmented_scan_1d(
+                    sv, is_new.astype(jnp.int32), op=agg, exclusive=False,
+                    use_pallas=use_pallas)
+                tables.append(jnp.where(
+                    valid_g, jnp.take(seg, ends).astype(sv.dtype),
+                    jnp.asarray(_init_scalar(sv.dtype, agg), sv.dtype)))
+                continue
             vl = keymod.to_limbs(sv)
             gid2 = jnp.where(valid, group_id, jnp.int32(num_groups))
             cols = (gid2, *vl)
             out = psort.sort_i32_cols(cols) if use_pallas else tuple(
                 jax.lax.sort(list(cols), num_keys=len(cols)))
             sv2 = keymod.from_limbs(list(out[1:]), sv.dtype)
-            gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
-            s = jnp.searchsorted(out[0], gi).astype(jnp.int32)
-            e = jnp.searchsorted(out[0], gi,
+            gi2 = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
+            s = jnp.searchsorted(out[0], gi2).astype(jnp.int32)
+            e = jnp.searchsorted(out[0], gi2,
                                  side="right").astype(jnp.int32) - 1
             src = e if agg == "max" else s
             tables.append(jnp.where(

@@ -356,6 +356,91 @@ def test_group_aggregate_cols_prefix_sorted_and_errors():
     assert int(cnt3) == 0 and tbls[0].shape == (8,)
 
 
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_cols_valid_mask(use_pallas):
+    """The fused WHERE + GROUP BY form: the boolean mask rides as the
+    leading sort column, so a filtered multi-measure aggregate pays no
+    separate filter_compact partition. min/max on non-first columns
+    reduce through the segmented scan (signed i32 with negatives, u32
+    above the sign bit, and f32 — plus an f16 column that must keep the
+    sort path)."""
+    rng = np.random.RandomState(72)
+    n = 4000
+    keys = rng.randint(0, 50, size=n).astype(np.int32)
+    v1 = rng.randint(-900, 900, size=n).astype(np.int32)
+    v2 = (rng.randint(0, 1 << 32, size=n, dtype=np.uint64)
+          .astype(np.uint32))
+    v3 = rng.randn(n).astype(np.float32)
+    v4 = rng.randn(n).astype(np.float16)
+    mask = v1 < 300
+    a = tuple(jnp.asarray(v) for v in (v1, v1, v2, v2, v3, v4))
+    gk, (s1, mn1, mx2, mean2, mn3, mx4), cnt = ex.group_aggregate_cols(
+        jnp.asarray(keys), a, ("sum", "min", "max", "mean", "min", "max"),
+        num_groups=64, valid_mask=jnp.asarray(mask),
+        use_pallas=use_pallas)
+    uk = np.unique(keys[mask])
+    assert int(cnt) == len(uk)
+    np.testing.assert_array_equal(np.asarray(gk)[:len(uk)], uk)
+    s1, mn1, mx2, mean2, mn3, mx4 = (np.asarray(x)[:len(uk)] for x in
+                                     (s1, mn1, mx2, mean2, mn3, mx4))
+    for g, k in enumerate(uk):
+        m = mask & (keys == k)
+        assert int(s1[g]) == int(np.int32(v1[m].sum()))
+        assert int(mn1[g]) == int(v1[m].min())
+        assert int(mx2[g]) == int(v2[m].max())
+        exp_mean = float(np.uint32(v2[m].sum(dtype=np.uint64)
+                                   & 0xFFFFFFFF)) / m.sum()
+        assert abs(float(mean2[g]) - exp_mean) < max(1e-3 * exp_mean, 1e-3)
+        assert float(mn3[g]) == float(v3[m].min())
+        assert float(mx4[g]) == float(v4[m].max())
+    with pytest.raises(ValueError, match="not both"):
+        ex.group_aggregate_cols(
+            jnp.asarray(keys), (jnp.asarray(v1),), ("sum",), num_groups=64,
+            n_valid=jnp.asarray(5), valid_mask=jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_dense_cols(use_pallas):
+    """Sort-free dense small-G aggregate: bit parity with the sorted path
+    on every agg (wrapping i32 sums, u32 order, f32 min/max, masked rows,
+    out-of-range ids dropped), in both the unrolled (G<=128) and traced
+    (G>128) kernel forms."""
+    rng = np.random.RandomState(73)
+    n = 30000
+    for G in (37, 200):
+        gid = rng.randint(-2, G + 2, n).astype(np.int32)
+        v1 = rng.randint(-900, 900, n).astype(np.int32)
+        v2 = (rng.randint(0, 1 << 32, n, dtype=np.int64)
+              & 0xFFFFFFFF).astype(np.uint32)
+        v3 = rng.randn(n).astype(np.float32)
+        mask = v1 < 300
+        gk, (s1, mn1, mx2, c, mn3), cnt = ex.group_aggregate_dense_cols(
+            jnp.asarray(gid),
+            tuple(jnp.asarray(x) for x in (v1, v1, v2, v1, v3)),
+            ("sum", "min", "max", "count", "min"),
+            num_groups=G, valid_mask=jnp.asarray(mask),
+            use_pallas=use_pallas)
+        ok = mask & (gid >= 0) & (gid < G)
+        present = np.unique(gid[ok])
+        cnt = int(cnt)
+        assert cnt == len(present)
+        np.testing.assert_array_equal(np.asarray(gk)[:cnt], present)
+        for i, g in enumerate(present):
+            m = ok & (gid == g)
+            assert int(s1[i]) == int(np.int32(v1[m].sum()))
+            assert int(mn1[i]) == int(v1[m].min())
+            assert int(mx2[i]) == int(v2[m].max())
+            assert int(c[i]) == int(m.sum())
+            assert float(mn3[i]) == float(v3[m].min())
+    with pytest.raises(ValueError, match="order-dependent"):
+        ex.group_aggregate_dense_cols(
+            jnp.asarray(gid), (jnp.asarray(v3),), ("sum",), num_groups=8)
+    with pytest.raises(ValueError, match="64-bit"):
+        ex.group_aggregate_dense_cols(
+            jnp.asarray(gid), (jnp.asarray(v2.astype(np.uint64)),),
+            ("max",), num_groups=8)
+
+
 @pytest.mark.parametrize("probe_impl", ["direct", "banded", "merge"])
 def test_hash_join_probe_impls(probe_impl):
     """All probe strategies agree with the oracle on the same data."""
