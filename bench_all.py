@@ -143,9 +143,11 @@ def main(argv=None):
             return ex.group_aggregate_sorted(k, v, num_groups=groups)
 
         dt = _timed(agg, (ka, va), runs, sync)
+        # sort + boundary passes; the n-row ends-compaction sort (and its
+        # sort_traffic_bytes(n, 1) term) is gone — searchsorted over the
+        # running end count finds group ends (aggregate.py r4)
         emit("aggregate_256M_1Mgroups", n / dt / 1e6, "Mrows/s", dt,
-             psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
-             + psort.sort_traffic_bytes(n, 1))
+             psort.sort_traffic_bytes(n, 2) + 6 * 4 * n)
 
     if 5 in configs:
         # 5. join probe 16M x 1M (single-chip stand-in for the dist config)

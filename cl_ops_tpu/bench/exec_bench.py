@@ -172,9 +172,12 @@ def main(argv=None):
         if args.op == "filter":
             bytes_moved = 4 * n + psort.sort_traffic_bytes(n, 2)
         elif args.op == "aggregate":
-            bytes_moved = (psort.sort_traffic_bytes(n, 2)   # (key,val) sort
-                           + 6 * 4 * n                       # flags + cumsum
-                           + psort.sort_traffic_bytes(n, 1))  # ends compact
+            # (key,val) sort + the boundary passes: prev-compare read,
+            # is_new/end_rank cumsums, the sum cumsum, ends gathers. The
+            # n-row ends-compaction sort is gone (searchsorted over the
+            # running end count finds group ends; aggregate.py r4) — its
+            # sort_traffic_bytes(n, 1) term with it.
+            bytes_moved = psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
         elif args.op == "join":
             # auto strategy: probe sort + one band pass + restore sort
             # (bandprobe.py); small dim sides skip both sorts

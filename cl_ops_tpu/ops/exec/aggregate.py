@@ -212,24 +212,40 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
         return _boundary_reduce_cols(
             keys, tuple(values), num_groups=num_groups, aggs=tuple(aggs),
             key_ordered=(False,) * len(values), use_pallas=use_pallas)
-    # the first measure column becomes a secondary sort key -> its min/max
-    # are boundary gathers; later columns only order within (key, v1)
-    # ties. A later column that IS column 0's array (several aggs over one
-    # measure, e.g. Q1's sum+min of qty) shares its order. Decided here,
-    # on real arrays — inside the jit each tuple slot is a distinct tracer
-    # and identity would never hold.
-    key_ordered = tuple(i == 0 or v is values[0]
-                        for i, v in enumerate(values))
+    # Dedup measure columns BY IDENTITY before the jit boundary (inside
+    # the jit each tuple slot is a distinct tracer and identity would
+    # never hold): several aggs over one measure (Q1's sum+min+count of
+    # qty) must sort that column ONCE, not once per agg — the fused sort
+    # is the dominant cost and its traffic scales with column count.
+    uniq, slot_map, seen = [], [], {}
+    for v in values:
+        j = seen.get(id(v))
+        if j is None:
+            j = len(uniq)
+            seen[id(v)] = j
+            uniq.append(v)
+        slot_map.append(j)
+    # the first UNIQUE column becomes the secondary sort key -> every
+    # slot carrying it is key-ordered and its min/max are boundary
+    # gathers; later columns only order within (key, u0) ties.
+    key_ordered = tuple(j == 0 for j in slot_map)
     return _group_aggregate_cols_sort(
-        keys, tuple(values), n_valid, valid_mask, num_groups=num_groups,
-        aggs=tuple(aggs), key_ordered=key_ordered, use_pallas=use_pallas)
+        keys, tuple(uniq), n_valid, valid_mask, num_groups=num_groups,
+        aggs=tuple(aggs), key_ordered=key_ordered,
+        slot_map=tuple(slot_map), use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
-                                             "key_ordered", "use_pallas"))
+                                             "key_ordered", "slot_map",
+                                             "use_pallas"))
 def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
                                num_groups: int, aggs, key_ordered,
-                               use_pallas: bool):
+                               slot_map=None, use_pallas: bool):
+    # values holds the UNIQUE measure columns; slot_map (static) maps each
+    # agg slot to its unique column, so the fused sort moves each column
+    # once no matter how many aggs read it.
+    if slot_map is None:
+        slot_map = tuple(range(len(values)))
     kl = keymod.to_limbs(keys)
     vls = [keymod.to_limbs(v) for v in values]
     n = keys.shape[0]
@@ -251,14 +267,15 @@ def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
     out = psort.sort_i32_cols(cols) if use_pallas else tuple(
         jax.lax.sort(list(cols), num_keys=len(cols)))
     skeys = keymod.from_limbs(list(out[skip:skip + len(kl)]), keys.dtype)
-    svals = []
+    suniq = []
     off = skip + len(kl)
     for v, vl in zip(values, vls):
-        svals.append(keymod.from_limbs(list(out[off:off + len(vl)]),
+        suniq.append(keymod.from_limbs(list(out[off:off + len(vl)]),
                                        v.dtype))
         off += len(vl)
+    svals = tuple(suniq[j] for j in slot_map)  # re-expand to agg slots
     return _boundary_reduce_cols(
-        skeys, tuple(svals), num_groups=num_groups, aggs=aggs,
+        skeys, svals, num_groups=num_groups, aggs=aggs,
         key_ordered=key_ordered, n_valid=n_valid, use_pallas=use_pallas)
 
 

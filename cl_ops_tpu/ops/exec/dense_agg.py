@@ -175,9 +175,6 @@ def _decode(table_i32, dtype, kind):
     return table_i32.astype(dt)  # narrow ints: truncation == wrapping sum
 
 
-@functools.partial(
-    jax.jit, static_argnames=("aggs", "num_groups", "block_rows",
-                              "interpret", "use_pallas"))
 def group_aggregate_dense_cols(group_ids, values, aggs, *, num_groups: int,
                                valid_mask=None, block_rows: int = 512,
                                interpret: bool = False,
@@ -189,7 +186,8 @@ def group_aggregate_dense_cols(group_ids, values, aggs, *, num_groups: int,
         [0, num_groups) are dropped (group_aggregate_direct semantics).
       values: tuple of 1-D measure columns (4-byte integer dtypes or
         narrower; f32 for min/max only).
-      aggs: matching tuple from sum/count/min/max/mean.
+      aggs: matching tuple from sum/count/min/max/mean (list accepted,
+        as in group_aggregate_cols).
       num_groups: dense id capacity; keep it <= ~DENSE_MAX_GROUPS — the
         routing work is num_groups * n lane-ops (the sorted
         `group_aggregate_cols` wins past that).
@@ -201,8 +199,34 @@ def group_aggregate_dense_cols(group_ids, values, aggs, *, num_groups: int,
     the first `count` rows hold one row per PRESENT group (>= 1 valid
     row), ascending by id; later rows are padding.
     """
+    values = tuple(values)
+    aggs = tuple(aggs)
     if len(values) != len(aggs) or not values:
         raise ValueError("values and aggs must be equal-length, non-empty")
+    # dedup measure columns by identity HERE, before the jit boundary
+    # (inside the jit each tuple slot is a distinct tracer): the same
+    # array in several slots streams through the kernel once.
+    uniq, slot_map, seen = [], [], {}
+    for v in values:
+        j = seen.get(id(v))
+        if j is None:
+            j = len(uniq)
+            seen[id(v)] = j
+            uniq.append(v)
+        slot_map.append(j)
+    return _dense_cols_impl(
+        group_ids, tuple(uniq), valid_mask, aggs=aggs,
+        slot_map=tuple(slot_map), num_groups=num_groups,
+        block_rows=block_rows, interpret=interpret, use_pallas=use_pallas)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("aggs", "slot_map", "num_groups",
+                              "block_rows", "interpret", "use_pallas"))
+def _dense_cols_impl(group_ids, uvalues, valid_mask, *, aggs, slot_map,
+                     num_groups: int, block_rows: int, interpret: bool,
+                     use_pallas: bool):
+    values = tuple(uvalues[j] for j in slot_map)  # per-agg-slot view
     n = group_ids.shape[0]
     gid = group_ids.astype(jnp.int32)
     if valid_mask is not None:
@@ -214,13 +238,13 @@ def group_aggregate_dense_cols(group_ids, values, aggs, *, num_groups: int,
     # Build the unique kernel reduction set. count runs once (presence +
     # count/mean); mean decomposes into sum + count.
     encoded = []      # unique raw i32 columns fed to the kernel
-    enc_slot = {}     # id(values[i]) -> slot
+    enc_slot = {}     # unique-column index (slot_map[i]) -> kernel slot
     flips = []
     reductions = [(None, "count", False)]
     red_of = {}       # (slot|None, kind) -> reduction index
 
     def col_slot(i):
-        key = i
+        key = slot_map[i]
         if key not in enc_slot:
             raw, flip = _to_raw_i32(values[i])
             enc_slot[key] = len(encoded)
