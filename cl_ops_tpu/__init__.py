@@ -29,8 +29,10 @@ Quick start:
 """
 
 from cl_ops_tpu.core import dtypes, errors, registry
+from cl_ops_tpu.defer import DeferredOverflowError, verify_deferred
 from cl_ops_tpu.utils import bits
 
 __version__ = "0.2.0"
 
-__all__ = ["dtypes", "errors", "registry", "bits", "__version__"]
+__all__ = ["DeferredOverflowError", "dtypes", "errors", "registry", "bits",
+           "verify_deferred", "__version__"]

@@ -18,7 +18,13 @@ import sys
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="filter",
-                   choices=["filter", "aggregate", "join", "expand"])
+                   choices=["filter", "aggregate", "join", "expand",
+                            "window", "topk", "distinct"])
+    p.add_argument("--k", type=int, default=1024,
+                   help="topk: LIMIT k")
+    p.add_argument("--sorted-output", action="store_true",
+                   help="window: skip the restore sort (the consumer-"
+                        "re-sorts-anyway fusion form)")
     p.add_argument("--dup", type=int, default=4,
                    help="expand: matches per probe (build dups)")
     p.add_argument("--sparse", action="store_true",
@@ -135,6 +141,72 @@ def main(argv=None):
             per_key = np.asarray(sdv).reshape(nkeys, args.dup)
             np.testing.assert_array_equal(
                 vals, per_key[probe[order]].reshape(-1))
+    elif args.op == "window":
+        # sum + row_number OVER (PARTITION BY key ORDER BY o) — one
+        # 4-column partition sort, two segmented scans, one restore sort
+        # (skipped with --sorted-output)
+        keys = jnp.asarray(rng.randint(0, args.groups, size=n)
+                           .astype(np.uint32))
+        order = jnp.asarray(rng.randint(0, 1 << 30, size=n)
+                            .astype(np.uint32))
+        vals = jnp.asarray(rng.randint(0, 100, size=n).astype(np.int32))
+        up = not args.no_pallas
+        so = args.sorted_output
+
+        def fn(k, o, v):
+            out = ex.window_cols(k, o, (v, None), ("sum", "row_number"),
+                                 use_pallas=up, sorted_output=so)
+            # flatten so the sync fn's leading element is an array
+            return (*out[0], out[1]) if so else out
+        secs = common.time_async(fn, (keys, order, vals), args.runs, sync)
+        if not args.no_check:
+            out = fn(keys, order, vals)
+            (wsum, wrow), row_src = ((out[:2], out[2]) if so
+                                     else (out, None))
+            hk, ho, hv = (np.asarray(keys), np.asarray(order),
+                          np.asarray(vals))
+            wsum, wrow = np.asarray(wsum), np.asarray(wrow)
+            if so:
+                src = np.asarray(row_src)
+            probe = rng.randint(0, n, size=8)
+            for i in probe:
+                # row i's partition, ordered the way the operator orders
+                # it: (order, position) ascending
+                ri = src[i] if so else i
+                sel = np.flatnonzero(hk == hk[ri])
+                sel = sel[np.lexsort((sel, ho[sel]))]
+                r = int(np.flatnonzero(sel == ri)[0])
+                assert wrow[i] == r + 1, (i, wrow[i], r + 1)
+                assert wsum[i] == hv[sel[:r + 1]].sum()
+    elif args.op == "topk":
+        vals = jnp.asarray(rng.randint(0, 1 << 30, size=n)
+                           .astype(np.uint32))
+        pay = jnp.asarray(rng.randint(0, 1 << 30, size=n)
+                          .astype(np.int32))
+        up = not args.no_pallas
+        fn = lambda v, p: ex.top_k(v, args.k, p,  # noqa: E731
+                                   use_pallas=up)
+        secs = common.time_async(fn, (vals, pay), args.runs, sync)
+        if not args.no_check:
+            tv, tp = fn(vals, pay)
+            hv = np.asarray(vals)
+            idx = np.argsort(hv, kind="stable")[:args.k]
+            np.testing.assert_array_equal(np.asarray(tv), hv[idx])
+            np.testing.assert_array_equal(np.asarray(tp),
+                                          np.asarray(pay)[idx])
+    elif args.op == "distinct":
+        keys = jnp.asarray(rng.randint(0, args.groups, size=n)
+                           .astype(np.uint32))
+        up = not args.no_pallas
+        cap = 1 << (int(args.groups - 1).bit_length())
+        fn = lambda kk: ex.distinct(kk, capacity=cap,  # noqa: E731
+                                    use_pallas=up)
+        secs = common.time_async(fn, (keys,), args.runs, sync)
+        if not args.no_check:
+            uv, cnt = fn(keys)
+            ref = np.unique(np.asarray(keys))
+            assert int(cnt) == len(ref)
+            np.testing.assert_array_equal(np.asarray(uv)[:len(ref)], ref)
     else:  # join
         nd = 1 << args.dim_log2
         dim_keys = np.arange(nd, dtype=np.uint32)
@@ -178,6 +250,23 @@ def main(argv=None):
             # running end count finds group ends; aggregate.py r4) — its
             # sort_traffic_bytes(n, 1) term with it.
             bytes_moved = psort.sort_traffic_bytes(n, 2) + 6 * 4 * n
+        elif args.op == "window":
+            # 4-col partition sort (key, order, pos, measure) + flags read
+            # + two single-pass segmented scans (~3 passes each) + the
+            # 3-col restore sort unless --sorted-output
+            bytes_moved = (psort.sort_traffic_bytes(n, 4) + 4 * n
+                           + 2 * 3 * 4 * n)
+            if not args.sorted_output:
+                bytes_moved += psort.sort_traffic_bytes(n, 3)
+        elif args.op == "topk":
+            # threshold sample (negligible) + keep-mask pass + the
+            # survivor partition sort of (rank, value, pos, payload) +
+            # the cap-sized finisher sort (negligible at bench shapes)
+            bytes_moved = 4 * n + psort.sort_traffic_bytes(n, 4)
+        elif args.op == "distinct":
+            # key-only sort + boundary passes (prev-compare, is_new and
+            # end_rank cumsums, ends gathers)
+            bytes_moved = psort.sort_traffic_bytes(n, 1) + 4 * 4 * n
         elif args.op == "join":
             # auto strategy: probe sort + one band pass + restore sort
             # (bandprobe.py); small dim sides skip both sorts

@@ -312,6 +312,7 @@ def main(argv=None):
     import numpy as np
 
     from cl_ops_tpu.bench import common
+    from cl_ops_tpu.defer import verify_deferred
     from cl_ops_tpu.parallel import (dist_group_aggregate, dist_hash_join,
                                      dist_scan, dist_sort)
     from cl_ops_tpu.parallel.mesh import make_mesh, put_sharded
@@ -378,7 +379,7 @@ def main(argv=None):
 
             def check(out):
                 gk, table, cnt, dropped = out
-                assert int(np.asarray(dropped).sum()) == 0, "shuffle overflow"
+                verify_deferred(dropped, op_name="dist_group_aggregate")
                 assert int(np.asarray(table).sum()) == n, "aggregate mismatch"
                 assert int(np.asarray(cnt).sum()) == len(np.unique(keys))
             return fn, (karr, varr), n, check
@@ -396,8 +397,7 @@ def main(argv=None):
 
             def check(out):
                 found, vals_o, dropped = out
-                assert all(int(np.asarray(d).sum()) == 0
-                           for d in dropped), "shuffle overflow"
+                verify_deferred(dropped, op_name="dist_hash_join")
                 assert bool(np.asarray(found).all()), "join missed rows"
                 assert np.array_equal(np.asarray(vals_o),
                                       pk * 2 + 1), "join values wrong"

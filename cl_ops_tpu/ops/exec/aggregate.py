@@ -31,6 +31,32 @@ from cl_ops_tpu.ops.sort import keys as keymod
 _AGGS = ("sum", "count", "min", "max", "mean")
 
 
+def _seg_ok(dtype) -> bool:
+    """True when segmented min/max scans handle this dtype (see the
+    64-bit/f16 sort fallback note in _boundary_reduce_cols)."""
+    dt = jnp.dtype(dtype)
+    return (dt.kind in "iu" and dt.itemsize <= 4) or dt == jnp.float32
+
+
+def _csum(x, use_pallas: bool, dtype=None):
+    """Inclusive prefix sum through the single-pass Pallas carry scan.
+
+    The boundary reduce is cumsum-bound after the sort (q1 probe r5:
+    jnp.cumsum measured 3.6 ms per 16M sweep on v5e vs 1.1 for the
+    2-HBM-sweep carry kernel — bench/pipeline_probe.py). Floats and
+    sub-4-byte dtypes keep jnp.cumsum.
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+    dt = jnp.dtype(x.dtype)
+    if use_pallas and dt.kind in "iu" and dt.itemsize in (4, 8):
+        from cl_ops_tpu.ops.scan.kernels import scan_1d
+        from cl_ops_tpu.utils.platform import pallas_interpret
+        return scan_1d(x, sum_dtype=dt, exclusive=False, single_pass=True,
+                       interpret=pallas_interpret())
+    return jnp.cumsum(x)
+
+
 def _accumulate(table, group_id, values, agg):
     if agg in ("sum", "mean", "count"):
         return table.at[group_id].add(values, mode="drop")
@@ -77,19 +103,27 @@ def group_aggregate_direct(group_ids, values, *, num_groups: int,
                                              "use_pallas"))
 def _sorted_aggregate_pallas(keys, values, *, num_groups: int, agg: str,
                              use_pallas: bool):
-    """Sort rows by (key, value) on normalized limbs, then boundary-reduce.
+    """Sort rows by key with values as PAYLOAD, then boundary-reduce.
 
-    Both columns participate as comparison keys (values secondary), so the
-    value order within each group is known and min/max become gathers.
+    The value column skips the comparator (num_keys — sorts are
+    VPU-bound, so payload columns are measurably cheaper than key
+    columns); min/max then reduce through one segmented scan (2 HBM
+    sweeps) instead of boundary gathers. Only the 64-bit/f16 min/max
+    dtypes the segmented kernel can't carry keep values in the compare
+    prefix (vals_in_key_order boundary-gather form).
     """
     kl = keymod.to_limbs(keys)
     vl = keymod.to_limbs(values)
-    out = psort.sort_i32_cols((*kl, *vl)) if use_pallas else tuple(
-        jax.lax.sort([*kl, *vl], num_keys=len(kl) + len(vl)))
+    need_order = agg in ("min", "max") and not _seg_ok(values.dtype)
+    nk = len(kl) + (len(vl) if need_order else 0)
+    out = psort.sort_i32_cols((*kl, *vl), num_keys=nk) \
+        if use_pallas else tuple(
+        jax.lax.sort([*kl, *vl], num_keys=nk))
     skeys = keymod.from_limbs(list(out[:len(kl)]), keys.dtype)
     svals = keymod.from_limbs(list(out[len(kl):]), values.dtype)
     return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg,
-                            vals_in_key_order=True, use_pallas=use_pallas)
+                            vals_in_key_order=need_order,
+                            use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "agg",
@@ -110,12 +144,14 @@ def group_aggregate_prefix(keys, values, n_valid, *, num_groups: int,
     inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
            >= n_valid).astype(jnp.int32)
     cols = (inv, *kl, *vl)
-    out = psort.sort_i32_cols(cols) if use_pallas else tuple(
-        jax.lax.sort(list(cols), num_keys=len(cols)))
+    need_order = agg in ("min", "max") and not _seg_ok(values.dtype)
+    nk = 1 + len(kl) + (len(vl) if need_order else 0)
+    out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else tuple(
+        jax.lax.sort(list(cols), num_keys=nk))
     skeys = keymod.from_limbs(list(out[1:1 + len(kl)]), keys.dtype)
     svals = keymod.from_limbs(list(out[1 + len(kl):]), values.dtype)
     return _boundary_reduce(skeys, svals, num_groups=num_groups, agg=agg,
-                            n_valid=n_valid, vals_in_key_order=True,
+                            n_valid=n_valid, vals_in_key_order=need_order,
                             use_pallas=use_pallas)
 
 
@@ -225,22 +261,31 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
             seen[id(v)] = j
             uniq.append(v)
         slot_map.append(j)
-    # the first UNIQUE column becomes the secondary sort key -> every
-    # slot carrying it is key-ordered and its min/max are boundary
-    # gathers; later columns only order within (key, u0) ties.
-    key_ordered = tuple(j == 0 for j in slot_map)
+    # Measure columns ride the sort as PAYLOAD (num_keys): min/max reduce
+    # through segmented scans (2 HBM sweeps each) — cheaper than paying
+    # the comparator chain on every column across the whole VPU-bound
+    # sort. Only a first-column min/max whose dtype the segmented kernel
+    # can't carry (64-bit/f16) pulls that column into the compare prefix
+    # for the key-ordered boundary-gather form.
+    first_in_prefix = any(
+        a in ("min", "max") and j == 0 and not _seg_ok(uniq[0].dtype)
+        for a, j in zip(aggs, slot_map))
+    key_ordered = tuple(j == 0 and first_in_prefix for j in slot_map)
     return _group_aggregate_cols_sort(
         keys, tuple(uniq), n_valid, valid_mask, num_groups=num_groups,
         aggs=tuple(aggs), key_ordered=key_ordered,
-        slot_map=tuple(slot_map), use_pallas=use_pallas)
+        slot_map=tuple(slot_map), first_in_prefix=first_in_prefix,
+        use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
                                              "key_ordered", "slot_map",
+                                             "first_in_prefix",
                                              "use_pallas"))
 def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
                                num_groups: int, aggs, key_ordered,
-                               slot_map=None, use_pallas: bool):
+                               slot_map=None, first_in_prefix: bool = False,
+                               use_pallas: bool):
     # values holds the UNIQUE measure columns; slot_map (static) maps each
     # agg slot to its unique column, so the fused sort moves each column
     # once no matter how many aggs read it.
@@ -264,8 +309,9 @@ def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
     else:
         cols = (*kl, *(c for vl in vls for c in vl))
         skip = 0
-    out = psort.sort_i32_cols(cols) if use_pallas else tuple(
-        jax.lax.sort(list(cols), num_keys=len(cols)))
+    nk = skip + len(kl) + (len(vls[0]) if first_in_prefix else 0)
+    out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else tuple(
+        jax.lax.sort(list(cols), num_keys=nk))
     skeys = keymod.from_limbs(list(out[skip:skip + len(kl)]), keys.dtype)
     suniq = []
     off = skip + len(kl)
@@ -328,8 +374,10 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
     prev = jnp.concatenate([skeys[:1], skeys[:-1]])
     is_new = valid & jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                       (skeys != prev)[1:]])
-    group_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    count = group_id[-1] + 1
+    # count needs only the TOTAL of is_new — a reduction, not the full
+    # group_id cumsum this used to pay (the 64-bit min/max fallback below
+    # materializes group_id itself on the rare path that needs it)
+    count = jnp.sum(is_new.astype(jnp.int32))
 
     # end of group g = position before the next is_new / first invalid row
     # (or the last row)
@@ -342,7 +390,7 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
     # O(num_groups * log n) vectorized gathers instead of the n-row
     # stable-partition sort this used to pay (one full psort pass saved
     # per boundary reduce).
-    end_rank = jnp.cumsum(is_end.astype(jnp.int32))
+    end_rank = _csum(is_end, use_pallas, jnp.int32)
     gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
     ends_all = jnp.searchsorted(end_rank, gi + 1,
                                 side="left").astype(jnp.int32)
@@ -353,7 +401,7 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
 
     vcnt_acc = None
     if any(a in ("count", "mean") for a in aggs):
-        vcnt_acc = jnp.cumsum(valid.astype(jnp.int32))
+        vcnt_acc = _csum(valid, use_pallas, jnp.int32)
 
     def seg_diff(acc):
         end_acc = jnp.take(acc, ends)
@@ -394,6 +442,7 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
                     jnp.asarray(_init_scalar(sv.dtype, agg), sv.dtype)))
                 continue
             vl = keymod.to_limbs(sv)
+            group_id = _csum(is_new, use_pallas, jnp.int32) - 1
             gid2 = jnp.where(valid, group_id, jnp.int32(num_groups))
             cols = (gid2, *vl)
             out = psort.sort_i32_cols(cols) if use_pallas else tuple(
@@ -413,7 +462,7 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
             continue
         if n_valid is not None:
             sv = jnp.where(valid, sv, jnp.zeros((), sv.dtype))
-        table = seg_diff(jnp.cumsum(sv))
+        table = seg_diff(_csum(sv, use_pallas))
         if agg == "mean":
             cnts = jnp.maximum(seg_diff(vcnt_acc), 1)
             table = table / cnts.astype(table.dtype)

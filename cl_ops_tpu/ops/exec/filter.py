@@ -66,7 +66,11 @@ def filter_compact(data, predicate: Callable, *extra_cols,
         else:  # two-limb rank: (flag, position) lexicographic
             keys = (jnp.int32(1) - keep_i32,
                     jax.lax.broadcasted_iota(jnp.int32, (n,), 0))
-        out = psort.sort_i32_cols((*keys, *enc))
+        # the rank prefix is unique and < 2n, so payload columns skip the
+        # comparator entirely (num_keys) and pads still sort last on the
+        # prefix alone (pad_safe)
+        out = psort.sort_i32_cols((*keys, *enc), num_keys=len(keys),
+                                  pad_safe=True)
         return (count, *psort.cols_from_i32(out[len(keys):], spec))
     dropped_key = jnp.logical_not(mask).astype(jnp.int32)
     out = jax.lax.sort([dropped_key, data, *extra_cols], num_keys=1,

@@ -33,16 +33,18 @@ _I32_MAX = 0x7FFFFFFF
 _PACK_MAX = 2 ** 31
 
 
-@jax.jit
-def _jit_sort_cols(cols):
+@functools.partial(jax.jit, static_argnames=("num_keys", "pad_safe"))
+def _jit_sort_cols(cols, num_keys=None, pad_safe=False):
     """Jitted wrapper around psort.sort_i32_cols — its own XLA module.
 
     The probe pipeline is staged into three separately-jitted pieces
     (probe sort / merge+rank / restore): one module holding the whole
     ~90-pallas_call pipeline OOM-kills the remote Mosaic compile helper
     (~60 calls per module is fine — the aggregate's module size).
+    num_keys/pad_safe as in sort_i32_cols: every restore sort here keys
+    on a unique position/rank prefix, so value columns ride as payload.
     """
-    return psort.sort_i32_cols(cols)
+    return psort.sort_i32_cols(cols, num_keys=num_keys, pad_safe=pad_safe)
 
 
 @jax.jit
@@ -151,7 +153,8 @@ def _merge_rank(build_limbs, build_vcols, probe_limbs,
             return (counts, (key3 & 1) > 0, val_prev, val_next,
                     jax.lax.shift_right_logical(key3, jnp.int32(1)))
         nv = len(val_prev)
-        out = _jit_sort_cols((key3, counts, *val_prev, *val_next))
+        out = _jit_sort_cols((key3, counts, *val_prev, *val_next),
+                             num_keys=1, pad_safe=True)
         skey3, rc = out[0], out[1]
         return (rc, (skey3 & 1) > 0, tuple(out[2:2 + nv]),
                 tuple(out[2 + nv:]), None)
@@ -333,7 +336,8 @@ def _banded_passes(bl, vals_i32, plimbs, passes, extra_cols=(),
     m = plimbs[0].shape[0]
     pos = jnp.arange(m, dtype=jnp.int32)
     nl = len(plimbs)
-    sp = _jit_sort_cols((*plimbs, pos, *extra_cols))
+    sp = _jit_sort_cols((*plimbs, pos, *extra_cols), num_keys=nl + 1,
+                        pad_safe=True)
     sp_limbs, spos = tuple(sp[:nl]), sp[nl]
     scols = tuple(sp[nl + 1:])
     interp = pallas_interpret()
@@ -404,12 +408,14 @@ def _probe_sorted(build_keys_sorted, build_vals_sorted, probe_keys,
             if 2 * m < _PACK_MAX:
                 # restore: pos rides the key with eq in the low bit
                 key3 = spos * 2 + eq.astype(jnp.int32)
-                out = _jit_sort_cols((key3, *vp))
+                out = _jit_sort_cols((key3, *vp), num_keys=1,
+                                     pad_safe=True)
                 return ((out[0] & 1) > 0,
                         _val_from_cols(out[1:], vdt), None, None, ovf)
             # two-limb rank restore (n up to 2^31): spos is unique, so
             # eq rides as an inert column instead of packing into the key
-            out = _jit_sort_cols((spos, eq.astype(jnp.int32), *vp))
+            out = _jit_sort_cols((spos, eq.astype(jnp.int32), *vp),
+                                 num_keys=1, pad_safe=True)
             return (out[1] > 0, _val_from_cols(out[2:], vdt), None, None,
                     ovf)
     _, eq, val_prev, _, spos = _merge_rank(bl, vcols, plimbs,
@@ -485,7 +491,8 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
                 return count, _val_from_cols(val_cols, vdt), spos, scols, \
                     ovf
             # restore: (pos, count, first_val...) in one column sort
-            out = _jit_sort_cols((spos, count, *val_cols))
+            out = _jit_sort_cols((spos, count, *val_cols), num_keys=1,
+                                 pad_safe=True)
             return out[1], _val_from_cols(out[2:], vdt), None, None, ovf
     # Merge fallback: its two passes sort probes INDEPENDENTLY, by key and
     # by key-1, and those orders can interleave differently where min and
@@ -504,8 +511,9 @@ def _probe_sorted_multi(build_keys_sorted, build_vals_sorted, probe_keys,
         # pos) is a total order, so the grouping is deterministic)
         m = plimbs[0].shape[0]
         pos = jnp.arange(m, dtype=jnp.int32)
-        out = _jit_sort_cols((*plimbs, pos, count, *val_cols))
         nl = len(plimbs)
+        out = _jit_sort_cols((*plimbs, pos, count, *val_cols),
+                             num_keys=nl + 1, pad_safe=True)
         return (out[nl + 1], _val_from_cols(out[nl + 2:], vdt),
                 out[nl], None, no_ovf)
     return count, _val_from_cols(val_cols, vdt), None, None, no_ovf

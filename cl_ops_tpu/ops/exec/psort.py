@@ -130,8 +130,25 @@ def sort_traffic_bytes(n: int, n_cols: int,
     return bk.fused_traffic_bytes(padded, n_cols, br, mr) + pad_bytes
 
 
-def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
+def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024,
+                  num_keys: int | None = None, pad_safe: bool = False):
     """Sort rows ascending by lexicographic comparison of all i32 columns.
+
+    num_keys compares only the first num_keys columns; the rest ride as
+    pure payload (moved, never compared — rows stay atomic). The sorts
+    are VPU-bound (DESIGN.md §3), so payload columns are measurably
+    cheaper than key columns. Rows tied in the key prefix come out in
+    unspecified relative order: pass num_keys only when the prefix is
+    unique (it includes a position column) or the caller is
+    order-insensitive within ties (aggregation). NOTE the pad rows: with
+    num_keys the pad sentinel must still sort last by the PREFIX alone —
+    the leading column's i32-max pad guarantees that except for real
+    rows whose leading limb equals i32-max. Callers whose key prefix
+    cannot reach the all-sentinel row (a position/rank column inside the
+    prefix, or a bounded leading flag) pass pad_safe=True to keep
+    num_keys through padding; otherwise padding falls back to the total
+    comparator automatically (pad-tie rows could land inside the real
+    prefix and be sliced off).
 
     Pads internally to a power of two with i32-max rows (sorted last) and
     slices back — the "cheap non-pow2 handling" of VERDICT r1: one fused
@@ -157,6 +174,9 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
     arrs = [as_i32(c) for c in cols]
     arrs2d, padded = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
     rows = padded // bk.LANES
+    if num_keys is not None and (num_keys >= len(cols) or
+                                 (padded != n and not pad_safe)):
+        num_keys = None  # total comparator: no payload, or pad-tie risk
     sl = None
     import os
     if os.environ.get("CL_OPS_PSORT_AUTOTUNE") == "1" and not interpret:
@@ -169,6 +189,6 @@ def sort_i32_cols(cols, *, interpret=None, vmem: int = 16 * 1024 * 1024):
         mr = max(min(_bt._pick_merge_rows(br), rows), br)
     out = bk.bitonic_sort_2d(tuple(arrs2d), block_rows=br, fused=True,
                              merge_rows=mr, interpret=interpret,
-                             single_launch=sl)
+                             single_launch=sl, num_keys=num_keys)
     return tuple(from_i32(a.reshape(-1)[:n], dt)
                  for a, dt in zip(out, dts))

@@ -31,14 +31,16 @@ import jax
 import jax.numpy as jnp
 
 from cl_ops_tpu.ops.exec import psort
-from cl_ops_tpu.ops.exec.aggregate import group_aggregate_sorted
 from cl_ops_tpu.ops.sort import keys as keymod
 from cl_ops_tpu.utils.bits import nlpo2
 
 
-def _sort_cols(cols, use_pallas):
-    return psort.sort_i32_cols(cols) if use_pallas else tuple(
-        jax.lax.sort(list(cols), num_keys=len(cols)))
+def _sort_cols(cols, use_pallas, num_keys=None, pad_safe=False):
+    if use_pallas:
+        return psort.sort_i32_cols(cols, num_keys=num_keys,
+                                   pad_safe=pad_safe)
+    return tuple(jax.lax.sort(list(cols),
+                              num_keys=num_keys or len(cols)))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -84,8 +86,10 @@ def top_k(values, k: int, *payload_cols, largest: bool = False,
 
     if k >= n or len(kl) > 1 or n <= max(4 * k, sample_size):
         # Small n, k ~ n, or multi-limb keys (a one-limb threshold cannot
-        # cut multi-limb order exactly): exact full sort.
-        out = _sort_cols((*kl, pos, *enc), use_pallas)
+        # cut multi-limb order exactly): exact full sort. (key, pos) is a
+        # unique prefix, so payloads skip the comparator.
+        out = _sort_cols((*kl, pos, *enc), use_pallas,
+                         num_keys=len(kl) + 1, pad_safe=True)
         return take_k(out)
 
     limb = kl[0]
@@ -108,32 +112,46 @@ def top_k(values, k: int, *payload_cols, largest: bool = False,
         rank = (psort.flag_pos_key(jnp.int32(1) - keep, n),)
     else:
         rank = (jnp.int32(1) - keep, pos)
-    packed = _sort_cols((*rank, limb, pos, *enc), use_pallas)[len(rank):]
+    packed = _sort_cols((*rank, limb, pos, *enc), use_pallas,
+                        num_keys=len(rank), pad_safe=True)[len(rank):]
 
     ok = (count >= k) & (count <= cap)
 
     def fast(args):
         pk = args[0]
-        return take_k(_sort_cols(tuple(c[:cap] for c in pk), use_pallas))
+        return take_k(_sort_cols(tuple(c[:cap] for c in pk), use_pallas,
+                                 num_keys=2, pad_safe=True))
 
     def exact(args):
         _, full = args
-        return take_k(_sort_cols(full, use_pallas))
+        return take_k(_sort_cols(full, use_pallas, num_keys=2,
+                                 pad_safe=True))
 
     return jax.lax.cond(ok, fast, exact, (packed, (limb, pos, *enc)))
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "use_pallas"))
 def distinct(keys_col, *, capacity: int, use_pallas: bool = True):
     """SELECT DISTINCT: the unique values of a column, ascending.
 
-    Thin composition over the group-by boundary machinery
-    (group_aggregate_sorted): sort, flag key changes, stable-partition the
-    boundaries to the front. Returns (unique_values, count): the first
-    `count` slots hold the distinct values ascending; later slots are
-    padding. `capacity` is the static result-buffer size (distinct count
-    must not exceed it).
+    Sorts the KEY COLUMN ALONE on normalized limbs, then gathers each
+    group's boundary value through the group-by boundary machinery
+    (aggregate._boundary_reduce_cols with a free key-ordered gather) —
+    no measure column ever rides the sort, so a u32 distinct moves half
+    the sort traffic the previous group_aggregate_sorted(count) form
+    paid. Returns (unique_values, count): the first `count` slots hold
+    the distinct values ascending; later slots are padding. `capacity`
+    is the static result-buffer size (distinct count must not exceed
+    it).
     """
-    gk, _, cnt = group_aggregate_sorted(
-        keys_col, jnp.ones_like(keys_col, jnp.int32),
-        num_groups=capacity, agg="count", use_pallas=use_pallas)
+    from cl_ops_tpu.ops.exec.aggregate import _boundary_reduce_cols
+    kl = keymod.to_limbs(keys_col)
+    out = _sort_cols(tuple(kl), use_pallas)
+    skeys = keymod.from_limbs(list(out), keys_col.dtype)
+    # "max" over the key itself with key_ordered=True is a pure ends
+    # gather — the boundary machinery yields (group_keys, ..., count)
+    # with no cumsum over any measure column.
+    gk, _, cnt = _boundary_reduce_cols(
+        skeys, (skeys,), num_groups=capacity, aggs=("max",),
+        key_ordered=(True,), use_pallas=use_pallas)
     return gk, cnt

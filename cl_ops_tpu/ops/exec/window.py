@@ -114,8 +114,11 @@ def _window_cols(keys, order, values, *, aggs, exclusive, use_pallas,
     enc, spec = psort.cols_to_i32(tuple(uniq)) if uniq else ((), ())
 
     cols = (*kl, *ol, pos, *enc)
-    out = psort.sort_i32_cols(cols) if use_pallas else tuple(
-        jax.lax.sort(list(cols), num_keys=len(cols)))
+    # (key, order, pos) is a UNIQUE prefix (pos < n also outranks the
+    # i32-max pad rows), so the measure columns ride as pure payload
+    nk = len(kl) + len(ol) + 1
+    out = psort.sort_i32_cols(cols, num_keys=nk, pad_safe=True) \
+        if use_pallas else tuple(jax.lax.sort(list(cols), num_keys=nk))
     skl = out[:len(kl)]
     sol = out[len(kl):len(kl) + len(ol)]
     row_src = out[len(kl) + len(ol)]
@@ -185,8 +188,8 @@ def _window_cols(keys, order, values, *, aggs, exclusive, use_pallas,
     # every output column home together.
     renc, rspec = psort.cols_to_i32(tuple(results))
     rcols = (row_src, *renc)
-    rout = psort.sort_i32_cols(rcols) if use_pallas else tuple(
-        jax.lax.sort(list(rcols), num_keys=len(rcols)))
+    rout = psort.sort_i32_cols(rcols, num_keys=1, pad_safe=True) \
+        if use_pallas else tuple(jax.lax.sort(list(rcols), num_keys=1))
     return psort.cols_from_i32(rout[1:], rspec)
 
 

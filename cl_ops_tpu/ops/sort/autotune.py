@@ -27,6 +27,27 @@ def _cache_path() -> str:
     return os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
 
 
+def _trace_state_clean() -> bool:
+    """True when NOT inside a jax trace (safe to compile+time on chip)."""
+    try:
+        from jax._src import core as _core
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return True
+
+
+def warm_shapes(shapes) -> None:
+    """Pre-sweep the tuner for (rows, n_arrays) pairs OUTSIDE any jit.
+
+    The composite pipelines sort inside one big jit, where candidates
+    cannot be timed (tune_geometry then falls back to the static
+    geometry); warming here first makes those jits pick up tuned
+    winners from the cache.
+    """
+    for rows, n_arrays in shapes:
+        tune_geometry(rows, n_arrays)
+
+
 def _load() -> dict:
     try:
         with open(_cache_path()) as f:
@@ -95,6 +116,15 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int, bool | None]:
                entry[2] if len(entry) > 2 else None)  # pre-r3 cache rows
         _mem_cache[key] = geo
         return geo
+    if not _trace_state_clean():
+        # Called while TRACING an outer jit (the composite pipelines sort
+        # inside one big jit): candidates cannot be timed here — a jitted
+        # run() call would inline into the outer trace and `float()` on
+        # its output is a ConcretizationTypeError. Return the static
+        # default WITHOUT caching; warm the cache first via
+        # warm_shapes() / an un-jitted sort to get tuned geometry.
+        br = min(512, rows)
+        return (br, min(br * 4, rows), None)
 
     from cl_ops_tpu.ops.sort import bitonic_kernels as bk
 
@@ -169,10 +199,16 @@ def tune_geometry(rows: int, n_arrays: int) -> tuple[int, int, bool | None]:
         if isinstance(dt, (int, float)) and (best is None or dt < best[0]):
             best = (dt, br, mr, sl)
     if best is None:
+        # Every candidate failed to MEASURE (e.g. the sweep ran in a
+        # context where timing is impossible). Return the static default
+        # but do NOT persist it as a winner — a later sweep in a healthy
+        # context must still run. Only the in-process memo is set (so one
+        # broken process doesn't re-sweep per sort call).
         br = min(512, rows)
         geo = (br, min(br * 4, rows), None)
-    else:
-        geo = (best[1], best[2], best[3])
+        _mem_cache[key] = geo
+        return geo
+    geo = (best[1], best[2], best[3])
     _mem_cache[key] = geo
     disk.pop(partial_key, None)
     disk[key] = list(geo)

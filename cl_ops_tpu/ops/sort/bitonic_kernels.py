@@ -19,10 +19,12 @@ Two execution modes mirror the reference's two bitonic sorters:
     abitonic's local/private multi-step kernels
     (`clo_sort_abitonic.in.h:33-106`), with VMEM playing local memory.
 
-All kernels operate on a tuple of i32 arrays: key limbs first (1-2), then an
-optional i32 payload (row indices for KV sorts). The payload participates as
-a final comparison tiebreak, making the comparator total so XOR-pair
-exchanges never duplicate elements.
+All kernels operate on a tuple of i32 arrays: key limbs first, then optional
+payload columns. By default every column joins the comparison (a total
+comparator). num_keys restricts the compare chain to a leading prefix; the
+XOR-partner exchanges then resolve prefix ties keep-self through the
+(lt, le) pair from _lex_cmp — see its docstring for why strict-only tie
+handling would duplicate rows.
 """
 
 from __future__ import annotations
@@ -59,14 +61,37 @@ def _gather_lanes(a, idx_i32):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _lex_lt(a: tuple, b: tuple):
-    """Strict lexicographic a < b over i32 limb tuples (signed order)."""
+def _lex_cmp(a: tuple, b: tuple, num_keys: int | None = None):
+    """(a < b, a <= b) lexicographic over i32 limb tuples (signed order).
+
+    num_keys compares only the first num_keys columns — later columns are
+    PAYLOAD: they ride every exchange's gather/select but skip the
+    compare chain (the sorts are VPU-bound, DESIGN.md §3, so dropping
+    per-column compare ops is real time). Ties in the compared prefix
+    are then possible, so every exchange resolves them KEEP-SELF via the
+    (lt, le) pair: the XOR-partner forms evaluate the comparator
+    independently on both sides, and the strict-only rule ("low takes
+    partner on tie, high keeps self") would write the high row to BOTH
+    slots — duplicating rows. With a total comparator le == lt and the
+    pair reduces to the old behavior exactly. Rows with tied prefixes
+    end in unspecified relative order but always move atomically;
+    callers needing total order put a unique column (position) inside
+    the key prefix.
+    """
+    if num_keys is not None:
+        a = a[:num_keys]
+        b = b[:num_keys]
     lt = a[0] < b[0]
     eq = a[0] == b[0]
     for aa, bb in zip(a[1:], b[1:]):
         lt = lt | (eq & (aa < bb))
         eq = eq & (aa == bb)
-    return lt
+    return lt, lt | eq
+
+
+def _lex_lt(a: tuple, b: tuple, num_keys: int | None = None):
+    """Strict lexicographic a < b (see _lex_cmp)."""
+    return _lex_cmp(a, b, num_keys)[0]
 
 
 def _partner(arrs: tuple, j):
@@ -101,7 +126,7 @@ def _flat_bit(shape, k_val, is_row_bit):
     return (cols & k_val) != 0
 
 
-def _cx(arrs: tuple, asc_mask, j):
+def _cx(arrs: tuple, asc_mask, j, num_keys=None):
     """One compare-exchange step at distance j under direction mask.
 
     asc_mask: True where the enclosing bitonic block sorts ascending.
@@ -113,12 +138,15 @@ def _cx(arrs: tuple, asc_mask, j):
     i_low = jnp.logical_not(
         _flat_bit(arrs[0].shape, j_val, is_row))
     keep_min = i_low == asc_mask
-    lt = _lex_lt(arrs, p)
-    take_self = keep_min == lt
+    lt, le = _lex_cmp(arrs, p, num_keys)
+    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
+    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
+    # vectors ("Unsupported target bitwidth for truncation").
+    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
-def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows):
+def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows, num_keys=None):
     """Compare-exchange at row distance j_rows (traced i32 power of 2)."""
     shape = arrs[0].shape
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -130,22 +158,31 @@ def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows):
         p.append(jnp.where(bit, up, down))
     p = tuple(p)
     keep_min = jnp.logical_not(bit) == asc_mask
-    take_self = keep_min == _lex_lt(arrs, p)
+    lt, le = _lex_cmp(arrs, p, num_keys)
+    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
+    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
+    # vectors ("Unsupported target bitwidth for truncation").
+    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
-def _cx_lanes_dyn(arrs: tuple, asc_mask, j):
+def _cx_lanes_dyn(arrs: tuple, asc_mask, j, num_keys=None):
     """Compare-exchange at lane distance j (traced i32 power of 2 < 128)."""
     shape = arrs[0].shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = lane_iota ^ j
     p = tuple(_gather_lanes(a, idx) for a in arrs)
     keep_min = ((lane_iota & j) == 0) == asc_mask
-    take_self = keep_min == _lex_lt(arrs, p)
+    lt, le = _lex_cmp(arrs, p, num_keys)
+    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
+    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
+    # vectors ("Unsupported target bitwidth for truncation").
+    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
-def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc):
+def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc,
+                      num_keys=None):
     """Static row-step: contiguous half-vs-half compare within 2j groups.
 
     A bitonic row step at distance j pairs the first j rows of every
@@ -159,7 +196,7 @@ def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc):
     a3 = [a.reshape(g, 2 * j_rows, lanes) for a in arrs]
     lo = tuple(a[:, :j_rows] for a in a3)
     hi = tuple(a[:, j_rows:] for a in a3)
-    lt = _lex_lt(lo, hi)
+    lt = _lex_lt(lo, hi, num_keys)
     lo_takes_self = lt == group_asc(g)  # lo keeps the min in asc groups
     out = []
     for l, h in zip(lo, hi):
@@ -170,7 +207,7 @@ def _cx_rows_grouped(arrs: tuple, j_rows: int, group_asc):
 
 
 def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
-                 unroll_lanes: bool = True):
+                 unroll_lanes: bool = True, num_keys=None):
     """All steps J = start_j .. 1 under one direction mask.
 
     Row steps (J >= 128) use the grouped half-block exchange (static). Lane
@@ -187,18 +224,19 @@ def _local_steps(arrs: tuple, asc_mask, start_j: int, group_asc=None,
     while j >= LANES:
         jr = j // LANES
         arrs = _cx_rows_grouped(
-            arrs, jr, lambda g, _jr=jr: group_asc(_jr, g))
+            arrs, jr, lambda g, _jr=jr: group_asc(_jr, g),
+            num_keys=num_keys)
         j //= 2
     if unroll_lanes:
         while j >= 1:
-            arrs = _cx_lanes_dyn(arrs, asc_mask, j)
+            arrs = _cx_lanes_dyn(arrs, asc_mask, j, num_keys)
             j //= 2
         return arrs
     lane_hi = log2_floor(max(j, 1))
 
     def lane_body(m, a):
         jj = jnp.int32(1) << (jnp.int32(lane_hi) - m.astype(jnp.int32))
-        return _cx_lanes_dyn(a, asc_mask, jj)
+        return _cx_lanes_dyn(a, asc_mask, jj, num_keys)
 
     return jax.lax.fori_loop(0, lane_hi + 1, lane_body, arrs)
 
@@ -219,7 +257,7 @@ def _scalar_group_asc(asc_scalar):
 
 
 def _local_sort_block(arrs: tuple, final_asc=None,
-                      unroll_lanes: bool = True):
+                      unroll_lanes: bool = True, num_keys=None):
     """Full bitonic sort of one (R,128) block (stages K=2..R*128).
 
     The direction of the final stage (K = block size) is the GLOBAL index
@@ -240,29 +278,31 @@ def _local_sort_block(arrs: tuple, final_asc=None,
                           k >= LANES))
             ga = _stage_group_asc(k)
         arrs = _local_steps(arrs, asc, k // 2, group_asc=ga,
-                            unroll_lanes=unroll_lanes)
+                            unroll_lanes=unroll_lanes, num_keys=num_keys)
     return arrs
 
 
 # --- kernels -----------------------------------------------------------------
 
 def _block_sort_kernel(*refs, n_arrays: int, multi_block: bool,
-                       unroll_lanes: bool = True):
+                       unroll_lanes: bool = True, num_keys=None):
     ins, outs = refs[:n_arrays], refs[n_arrays:]
     arrs = tuple(r[...] for r in ins)
     if multi_block:
         # Alternate block directions: stage K = B's direction bit is the
         # block-index LSB (the bitonic precondition for the K = 2B merge).
         arrs = _local_sort_block(arrs, final_asc=(pl.program_id(0) & 1) == 0,
-                                 unroll_lanes=unroll_lanes)
+                                 unroll_lanes=unroll_lanes,
+                                 num_keys=num_keys)
     else:
-        arrs = _local_sort_block(arrs, unroll_lanes=unroll_lanes)
+        arrs = _local_sort_block(arrs, unroll_lanes=unroll_lanes,
+                                 num_keys=num_keys)
     for o, a in zip(outs, arrs):
         o[...] = a
 
 
 def _block_merge_kernel(params_ref, *refs, n_arrays: int,
-                        unroll_lanes: bool = True):
+                        unroll_lanes: bool = True, num_keys=None):
     """Fused local merge: all steps J = B/2..1 of one stage K > B.
 
     Direction is uniform per block: asc = (block_index & k_blocks) == 0
@@ -277,12 +317,12 @@ def _block_merge_kernel(params_ref, *refs, n_arrays: int,
     arrs = tuple(r[...] for r in ins)
     arrs = _local_steps(arrs, asc, shape[0] * LANES // 2,
                         group_asc=_scalar_group_asc(asc_scalar),
-                        unroll_lanes=unroll_lanes)
+                        unroll_lanes=unroll_lanes, num_keys=num_keys)
     for o, a in zip(outs, arrs):
         o[...] = a
 
 
-def _cross_kernel(params_ref, *refs, n_arrays: int):
+def _cross_kernel(params_ref, *refs, n_arrays: int, num_keys=None):
     """One cross-block step with J >= B: block b exchanges with b ^ j_blocks.
 
     Each grid step reads its own block plus its XOR partner (J >= B flips
@@ -303,13 +343,14 @@ def _cross_kernel(params_ref, *refs, n_arrays: int):
     keep_min = is_lo == asc
     s = tuple(r[...] for r in self_ins)
     p = tuple(r[...] for r in part_ins)
-    lt = _lex_lt(s, p)
-    take_self = keep_min == lt
+    lt, le = _lex_cmp(s, p, num_keys)
+    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
     for o, a, pp in zip(outs, s, p):
         o[...] = jnp.where(take_self, a, pp)
 
 
-def _single_step_kernel(params_ref, *refs, n_arrays: int, row_step: bool):
+def _single_step_kernel(params_ref, *refs, n_arrays: int, row_step: bool,
+                        num_keys=None):
     """One global (K, J) pass with J < B, one block per grid step.
 
     params = [j (row units if row_step else lanes), k_block_units,
@@ -339,9 +380,9 @@ def _single_step_kernel(params_ref, *refs, n_arrays: int, row_step: bool):
     asc = ((use_block & asc_block) | (jnp.logical_not(use_block) & asc_elem)
            ) | jnp.zeros(shape, jnp.bool_)
     if row_step:
-        arrs = _cx_rows_dyn(arrs, asc, j)
+        arrs = _cx_rows_dyn(arrs, asc, j, num_keys)
     else:
-        arrs = _cx_lanes_dyn(arrs, asc, j)
+        arrs = _cx_lanes_dyn(arrs, asc, j, num_keys)
     for o, a in zip(outs, arrs):
         o[...] = a
 
@@ -374,7 +415,8 @@ def _call_per_block(kernel, arrs2d, n_blocks, block_rows, interpret,
     return tuple(out)  # out_shape is a tuple, so pallas returns a sequence
 
 
-def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret):
+def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret,
+                num_keys=None):
     n_arrays = len(arrs2d)
     shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
     params = jnp.array([k_blocks], jnp.int32)
@@ -386,7 +428,7 @@ def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret):
     )
     out = pl.pallas_call(
         functools.partial(_block_merge_kernel, n_arrays=n_arrays,
-                          unroll_lanes=not interpret),
+                          unroll_lanes=not interpret, num_keys=num_keys),
         grid_spec=grid_spec,
         out_shape=shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -396,7 +438,8 @@ def _call_merge(arrs2d, n_blocks, block_rows, k_blocks, interpret):
     return tuple(out)
 
 
-def _call_single_step(arrs2d, n_blocks, block_rows, k, j, interpret):
+def _call_single_step(arrs2d, n_blocks, block_rows, k, j, interpret,
+                      num_keys=None):
     n_arrays = len(arrs2d)
     shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
     block_elems = block_rows * LANES
@@ -416,7 +459,7 @@ def _call_single_step(arrs2d, n_blocks, block_rows, k, j, interpret):
     )
     out = pl.pallas_call(
         functools.partial(_single_step_kernel, n_arrays=n_arrays,
-                          row_step=row_step),
+                          row_step=row_step, num_keys=num_keys),
         grid_spec=grid_spec,
         out_shape=shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -426,7 +469,8 @@ def _call_single_step(arrs2d, n_blocks, block_rows, k, j, interpret):
     return tuple(out)
 
 
-def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
+def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret,
+                num_keys=None):
     n_arrays = len(arrs2d)
     shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d)
     params = jnp.array([j_blocks, k_blocks], jnp.int32)
@@ -448,7 +492,8 @@ def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
         out_specs=tuple(spec(self_map) for _ in range(n_arrays)),
     )
     out = pl.pallas_call(
-        functools.partial(_cross_kernel, n_arrays=n_arrays),
+        functools.partial(_cross_kernel, n_arrays=n_arrays,
+                          num_keys=num_keys),
         grid_spec=grid_spec,
         out_shape=shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -458,7 +503,8 @@ def _call_cross(arrs2d, n_blocks, block_rows, j_blocks, k_blocks, interpret):
     return tuple(out)
 
 
-def _pair_cross_kernel(params_ref, *refs, n_arrays: int, two_j: int):
+def _pair_cross_kernel(params_ref, *refs, n_arrays: int, two_j: int,
+                       num_keys=None):
     """Cross-block step writing BOTH partners: 2 HBM sweeps, not 3.
 
     The plain cross kernel reads self + partner but writes only self, so a
@@ -480,14 +526,14 @@ def _pair_cross_kernel(params_ref, *refs, n_arrays: int, two_j: int):
     asc = ((s * two_j) & k_blocks) == 0
     lo = tuple(r[0, 0, 0] for r in ins)
     hi = tuple(r[0, 1, 0] for r in ins)
-    lt = _lex_lt(lo, hi)
+    lt = _lex_lt(lo, hi, num_keys)
     lo_takes_self = lt == asc  # lo keeps the min in ascending pairs
     for o, l, h in zip(outs, lo, hi):
         o[0, 0, 0] = jnp.where(lo_takes_self, l, h)
         o[0, 1, 0] = jnp.where(lo_takes_self, h, l)
 
 
-def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
+def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret, num_keys=None):
     """One cross level at distance j_c C-blocks, pair-structured."""
     n_arrays = len(arrs2d)
     total_rows = arrs2d[0].shape[0]
@@ -512,7 +558,7 @@ def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
     )
     out = pl.pallas_call(
         functools.partial(_pair_cross_kernel, n_arrays=n_arrays,
-                          two_j=2 * j_c),
+                          two_j=2 * j_c, num_keys=num_keys),
         grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(shape5, a.dtype) for a in a5),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -522,7 +568,7 @@ def _call_pair_cross(arrs2d, c_rows, j_c, k_c, interpret):
     return tuple(o.reshape(total_rows, LANES) for o in out)
 
 
-def _local_steps_dyn(arrs: tuple, asc_mask, start_j: int):
+def _local_steps_dyn(arrs: tuple, asc_mask, start_j: int, num_keys=None):
     """All steps J = start_j .. 1 under one direction mask, loop-traced.
 
     The whole-VMEM single-launch sort cannot statically unroll its
@@ -539,20 +585,20 @@ def _local_steps_dyn(arrs: tuple, asc_mask, start_j: int):
     if hi >= 7:  # row steps: J = 2^hi .. 2^7
         def row_body(m, a):
             jr = jnp.int32(1) << (jnp.int32(hi - 7) - m)  # J / 128
-            return _cx_rows_dyn(a, asc_mask, jr)
+            return _cx_rows_dyn(a, asc_mask, jr, num_keys)
         arrs = jax.lax.fori_loop(jnp.int32(0), jnp.int32(hi - 6), row_body,
                                  arrs)
     lane_hi = min(hi, 6)
 
     def lane_body(m, a):
         jj = jnp.int32(1) << (jnp.int32(lane_hi) - m)
-        return _cx_lanes_dyn(a, asc_mask, jj)
+        return _cx_lanes_dyn(a, asc_mask, jj, num_keys)
 
     return jax.lax.fori_loop(jnp.int32(0), jnp.int32(lane_hi + 1),
                              lane_body, arrs)
 
 
-def _vmem_sort_kernel(*refs, n_arrays: int):
+def _vmem_sort_kernel(*refs, n_arrays: int, num_keys=None):
     """Whole-array bitonic sort in ONE launch (grid=()): n <= VMEM.
 
     The small-n answer to the launch-bound fused schedule (~30 dispatches
@@ -575,7 +621,7 @@ def _vmem_sort_kernel(*refs, n_arrays: int):
             asc = jnp.logical_not(
                 _flat_bit(shape, k // LANES if k >= LANES else k,
                           k >= LANES))
-        arrs = _local_steps_dyn(arrs, asc, k // 2)
+        arrs = _local_steps_dyn(arrs, asc, k // 2, num_keys)
     for o, a in zip(outs, arrs):
         o[...] = a
 
@@ -587,7 +633,8 @@ SINGLE_LAUNCH_MAX_ROWS = 16384
 
 
 def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
-                        multi_block: bool, unroll_lanes: bool = True):
+                        multi_block: bool, unroll_lanes: bool = True,
+                        num_keys=None):
     """Fused run of ALL bitonic stages K = start_k .. block size.
 
     Used as a second tier above _block_sort_kernel: a bigger VMEM block
@@ -623,7 +670,8 @@ def _multi_stage_kernel(*refs, n_arrays: int, start_k: int,
 
 def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
                     interpret: bool, merge_rows: int | None = None,
-                    single_launch: bool | None = None):
+                    single_launch: bool | None = None,
+                    num_keys: int | None = None):
     """Sort po2-length flattened (rows,128) limb arrays ascending.
 
     Returns reordered arrays (same shapes). arrs2d rows must be a multiple
@@ -653,11 +701,12 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
             single_launch = False
         if single_launch:
             return _call_per_block(_vmem_sort_kernel, arrs2d, 1, total_rows,
-                                   interpret)
+                                   interpret, num_keys=num_keys)
         arrs2d = _call_per_block(_block_sort_kernel, arrs2d, n_blocks,
                                  block_rows, interpret,
                                  multi_block=n_blocks > 1,
-                                 unroll_lanes=not interpret)
+                                 unroll_lanes=not interpret,
+                                 num_keys=num_keys)
         mr = min(merge_rows or block_rows, total_rows)
         assert is_po2(mr) and mr >= block_rows
         if mr > block_rows:
@@ -665,7 +714,7 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
             arrs2d = _call_per_block(
                 _multi_stage_kernel, arrs2d, n2, mr, interpret,
                 start_k=2 * block_elems, multi_block=n2 > 1,
-                unroll_lanes=not interpret)
+                unroll_lanes=not interpret, num_keys=num_keys)
         else:
             n2 = n_blocks
         merge_elems = mr * LANES
@@ -681,13 +730,15 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
             while j >= merge_elems:
                 if use_pair:
                     arrs2d = _call_pair_cross(arrs2d, c_rows, j // c_elems,
-                                              k // c_elems, interpret)
+                                              k // c_elems, interpret,
+                                              num_keys=num_keys)
                 else:
                     arrs2d = _call_cross(arrs2d, n2, mr, j // merge_elems,
-                                         k // merge_elems, interpret)
+                                         k // merge_elems, interpret,
+                                         num_keys=num_keys)
                 j //= 2
             arrs2d = _call_merge(arrs2d, n2, mr, k // merge_elems,
-                                 interpret)
+                                 interpret, num_keys=num_keys)
         return arrs2d
 
     # single-step mode: one launch per (K, J) — sbitonic parity.
@@ -698,10 +749,11 @@ def bitonic_sort_2d(arrs2d: tuple, *, block_rows: int, fused: bool,
             if j >= block_elems:
                 arrs2d = _call_cross(arrs2d, n_blocks, block_rows,
                                      j // block_elems, k // block_elems,
-                                     interpret)
+                                     interpret, num_keys=num_keys)
             else:
                 arrs2d = _call_single_step(arrs2d, n_blocks, block_rows,
-                                           k, j, interpret)
+                                           k, j, interpret,
+                                           num_keys=num_keys)
             j //= 2
     return arrs2d
 
@@ -757,7 +809,8 @@ def pad_and_reshape(arrs, pad_values, min_rows=MIN_ROWS):
     return tuple(out), padded
 
 
-def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool):
+def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool,
+                     num_keys: int | None = None):
     """Ascending bitonic merge of one whole bitonic sequence.
 
     Used by the distributed sort (parallel/sort.py) to restore local order
@@ -773,6 +826,7 @@ def bitonic_merge_2d(arrs2d: tuple, *, block_rows: int, interpret: bool):
     j = n // 2
     while j >= block_elems:
         arrs2d = _call_pair_cross(arrs2d, block_rows, j // block_elems,
-                                  0, interpret)
+                                  0, interpret, num_keys=num_keys)
         j //= 2
-    return _call_merge(arrs2d, n_blocks, block_rows, 0, interpret)
+    return _call_merge(arrs2d, n_blocks, block_rows, 0, interpret,
+                       num_keys=num_keys)

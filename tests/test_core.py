@@ -105,3 +105,46 @@ class TestRegistry:
         assert parse_options(None) == {}
         assert parse_options("flag") == {"flag": "1"}
         assert parse_options({"radix": 16}) == {"radix": "16"}
+
+
+class TestVerifyDeferred:
+    """verify_deferred: the serving-form exactness witness (defer.py)."""
+
+    def test_clean_witnesses_pass(self):
+        import numpy as np
+        from cl_ops_tpu import verify_deferred
+        verify_deferred(np.zeros(4, np.int32))
+        verify_deferred(np.zeros((), np.bool_), op_name="rollup")
+        # nested tuples, as returned by dist_hash_join(check="defer")
+        verify_deferred((np.zeros(8, np.int32), np.zeros(8, np.int32)))
+
+    def test_dropped_counter_fires(self):
+        import numpy as np
+        import pytest
+        from cl_ops_tpu import DeferredOverflowError, verify_deferred
+        d = np.zeros(8, np.int32)
+        d[3] = 17
+        with pytest.raises(DeferredOverflowError, match="17 dropped"):
+            verify_deferred((np.zeros(8, np.int32), d),
+                            op_name="dist_hash_join")
+
+    def test_overflow_flag_fires(self):
+        import numpy as np
+        import pytest
+        from cl_ops_tpu import DeferredOverflowError, verify_deferred
+        with pytest.raises(DeferredOverflowError, match="overflow flag"):
+            verify_deferred(np.asarray(True), op_name="rollup_query")
+
+    def test_device_arrays(self):
+        import jax.numpy as jnp
+        import pytest
+        from cl_ops_tpu import DeferredOverflowError, verify_deferred
+        verify_deferred(jnp.zeros(4, jnp.int32), jnp.zeros((), jnp.bool_))
+        with pytest.raises(DeferredOverflowError):
+            verify_deferred(jnp.ones(2, jnp.int32))
+
+    def test_no_witnesses_rejected(self):
+        import pytest
+        from cl_ops_tpu import verify_deferred
+        with pytest.raises(ValueError):
+            verify_deferred()
