@@ -41,7 +41,7 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1,
                     help="divide all row counts by this (smoke testing)")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8",
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11,12",
                     help="comma list of config numbers to run (first "
                          "compiles through the tunneled helper are slow; "
                          "running one config per process keeps each run "
@@ -191,6 +191,37 @@ def main(argv=None):
              psort.sort_traffic_bytes(m, 2)
              + bandprobe.band_pass_traffic_bytes(m, 1))
 
+    if 12 in configs:
+        # 12. config-5 anchor at single-chip scale: 256M-row probe x 16M
+        # build through the banded join's serving form — the largest
+        # slice of BASELINE configs[4] ("1B fact x 100M dim") one 16 GB
+        # v5e holds. ~3.3 GB of inputs/outputs + the probe sort's
+        # working set; HBM capacity, not correctness, binds beyond this.
+        m = (1 << 28) // sc
+        nd = (1 << 24) // sc
+        dim = np.arange(nd, dtype=np.uint32)
+        np.random.RandomState(15).shuffle(dim)
+        dimv = (dim * 7 + 1).astype(np.uint32)
+        probe = jnp.asarray(np.random.RandomState(16).randint(
+            0, nd, size=m).astype(np.uint32))
+        sdb = sort_mod.sort_new("abitonic")
+        sdk12, sdv12 = sdb.sort_with_device_data(jnp.asarray(dim),
+                                                 jnp.asarray(dimv))
+        jf12 = lambda p: ex.hash_join(sdk12, sdv12, p,  # noqa: E731
+                                      build_sorted=True,
+                                      sorted_output=True,
+                                      defer_overflow=True)
+        out = jf12(probe)
+        assert not bool(out[-1]), "band overflow in the bench config"
+        # spot-check correctness (full checks are the tests' job)
+        f0 = np.asarray(out[0][:1 << 16])
+        assert bool(f0.all())
+        dt = _timed(jf12, (probe,), runs, sync)
+        from cl_ops_tpu.ops.exec import bandprobe
+        emit("join_probe_256Mx16M", m / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(m, 2)
+             + bandprobe.band_pass_traffic_bytes(m, 1))
+
     if 6 in configs:
         # 6. full join expansion: 16M probes x 4 matches each against a
         # 4M-row build (not a BASELINE config; covers hash_join_expand)
@@ -275,6 +306,82 @@ def main(argv=None):
         # the segmented max(price) scan (2 sweeps), ends gathers
         bytes_moved = psort.sort_traffic_bytes(n, 4) + 12 * 4 * n
         emit("q1_16Mx64K", n / dt / 1e6, "Mrows/s", dt, bytes_moved)
+
+    if 9 in configs:
+        # 9. window functions: sum + row_number over 16M rows / 64K
+        # partitions (r4 verdict missing #1: the r4 operators had zero
+        # chip measurements) — restore form and the sorted_output fusion
+        n = (1 << 24) // sc
+        g = max((1 << 16) // sc, 16)
+        wk = jnp.asarray(np.random.RandomState(9).randint(
+            0, g, size=n).astype(np.uint32))
+        wo = jnp.asarray(np.random.RandomState(10).randint(
+            0, 1 << 30, size=n).astype(np.uint32))
+        wv = jnp.asarray(np.random.RandomState(11).randint(
+            0, 100, size=n).astype(np.int32))
+
+        def wfn(k, o, v):
+            return ex.window_cols(k, o, (v, None), ("sum", "row_number"),
+                                  use_pallas=True)
+
+        def wfn_s(k, o, v):
+            out, src = ex.window_cols(k, o, (v, None),
+                                      ("sum", "row_number"),
+                                      use_pallas=True, sorted_output=True)
+            return (*out, src)
+
+        # sanity vs the XLA A/B arm (totals; full checks in tests/)
+        ws, wr = wfn(wk, wo, wv)
+        ws0, wr0 = ex.window_cols(wk, wo, (wv, None),
+                                  ("sum", "row_number"), use_pallas=False)
+        assert int(ws.astype(jnp.int64).sum()) == int(
+            ws0.astype(jnp.int64).sum())
+        assert int(wr.astype(jnp.int64).sum()) == int(
+            wr0.astype(jnp.int64).sum())
+        seg = 2 * 3 * 4 * n + 4 * n  # two segmented scans + flags
+        dt = _timed(wfn, (wk, wo, wv), runs, sync)
+        emit("window_16Mx64K", n / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(n, 4) + seg
+             + psort.sort_traffic_bytes(n, 3))
+        dt = _timed(wfn_s, (wk, wo, wv), runs, sync)
+        emit("window_16Mx64K_sorted", n / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(n, 4) + seg)
+
+    if 10 in configs:
+        # 10. top-1K of 64M u32 with a payload column (threshold select)
+        n = (1 << 26) // sc
+        kk = min(1024, n // 16)
+        tv = jnp.asarray(np.random.RandomState(12).randint(
+            0, 1 << 30, size=n).astype(np.uint32))
+        tp = jnp.asarray(np.random.RandomState(13).randint(
+            0, 1 << 30, size=n).astype(np.int32))
+
+        def tfn(v, p):
+            return ex.top_k(v, kk, p, use_pallas=True)
+        out_v, out_p = tfn(tv, tp)
+        hv = np.asarray(tv)
+        idx = np.argsort(hv, kind="stable")[:kk]
+        assert np.array_equal(np.asarray(out_v), hv[idx])
+        assert np.array_equal(np.asarray(out_p), np.asarray(tp)[idx])
+        dt = _timed(tfn, (tv, tp), runs, sync)
+        emit("topk_1K_of_64M", n / dt / 1e6, "Mrows/s", dt,
+             4 * n + psort.sort_traffic_bytes(n, 4))
+
+    if 11 in configs:
+        # 11. DISTINCT over 64M rows / 1M distinct values (key-only sort)
+        n = (1 << 26) // sc
+        du = max((1 << 20) // sc, 16)
+        dk = jnp.asarray(np.random.RandomState(14).randint(
+            0, du, size=n).astype(np.uint32))
+
+        def dfn(k):
+            return ex.distinct(k, capacity=du, use_pallas=True)
+        uv, ucnt = dfn(dk)
+        ref_cnt = len(np.unique(np.asarray(dk)))
+        assert int(ucnt) == ref_cnt
+        dt = _timed(dfn, (dk,), runs, sync)
+        emit("distinct_64M_1M", n / dt / 1e6, "Mrows/s", dt,
+             psort.sort_traffic_bytes(n, 1) + 4 * 4 * n)
 
     if args.scale != 1:
         # smoke-test mode: never let scaled-down rows overwrite the real
