@@ -38,6 +38,37 @@ def _seg_ok(dtype) -> bool:
     return (dt.kind in "iu" and dt.itemsize <= 4) or dt == jnp.float32
 
 
+def _searchsorted_2level(acc, targets, n: int, block: int = 4096):
+    """searchsorted(acc, targets, side="left") for a NONDECREASING acc.
+
+    Level 1 searches the block-decimated tails acc[block-1::block] (a
+    ~n/block array — VMEM/cache-resident, so its gathers are cheap);
+    level 2 runs log2(block) binary-search steps bounded inside the one
+    block each target lands in. Same result as the flat searchsorted;
+    ~half the expensive big-array gather steps on the 16M q1 shape.
+    """
+    nb = (n + block - 1) // block
+    # decimated tails; the last block's tail is acc[n-1]
+    tail_idx = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (nb,), 0) * block + (block - 1),
+        n - 1)
+    blk_tails = jnp.take(acc, tail_idx)
+    blk = jnp.searchsorted(blk_tails, targets,
+                           side="left").astype(jnp.int32)
+    lo = jnp.minimum(blk * block, n)
+    hi = jnp.minimum(lo + block, n)
+    # invariant: answer in [lo, hi]; all indices < lo have acc < target
+    steps = max(1, (block - 1).bit_length())
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take(acc, jnp.minimum(mid, n - 1))
+        ge = v >= targets
+        hi = jnp.where(active & ge, mid, hi)
+        lo = jnp.where(active & jnp.logical_not(ge), mid + 1, lo)
+    return lo.astype(jnp.int32)
+
+
 def _csum(x, use_pallas: bool, dtype=None):
     """Inclusive prefix sum through the single-pass Pallas carry scan.
 
@@ -389,11 +420,14 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
     # running end count is nondecreasing, so a binary search finds it:
     # O(num_groups * log n) vectorized gathers instead of the n-row
     # stable-partition sort this used to pay (one full psort pass saved
-    # per boundary reduce).
+    # per boundary reduce). TWO-LEVEL form: a flat searchsorted over 16M
+    # rows measured ~12 ms on v5e (bench/pipeline_probe.py r5) — TPU
+    # random gathers from HBM dominate, so first search a 4096:1
+    # DECIMATED haystack (fits VMEM/cache), then 12 bounded binary-search
+    # steps inside the one block each group's end lands in.
     end_rank = _csum(is_end, use_pallas, jnp.int32)
     gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
-    ends_all = jnp.searchsorted(end_rank, gi + 1,
-                                side="left").astype(jnp.int32)
+    ends_all = _searchsorted_2level(end_rank, gi + 1, n)
     valid_g = gi < count
     ends = jnp.where(valid_g, jnp.minimum(ends_all, n - 1), n - 1)
     group_keys = jnp.take(skeys, ends)
