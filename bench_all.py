@@ -364,8 +364,10 @@ def main(argv=None):
         assert np.array_equal(np.asarray(out_v), hv[idx])
         assert np.array_equal(np.asarray(out_p), np.asarray(tp)[idx])
         dt = _timed(tfn, (tv, tp), runs, sync)
+        # r5 block-extraction form: mask build + KB=4 argmax/clear i8
+        # sweeps + the candidate small-sort (negligible); no n-row sort
         emit("topk_1K_of_64M", n / dt / 1e6, "Mrows/s", dt,
-             4 * n + psort.sort_traffic_bytes(n, 4))
+             4 * n + n + 4 * 2 * n)
 
     if 11 in configs:
         # 11. DISTINCT over 64M rows / 1M distinct values (key-only sort)

@@ -259,10 +259,11 @@ def main(argv=None):
             if not args.sorted_output:
                 bytes_moved += psort.sort_traffic_bytes(n, 3)
         elif args.op == "topk":
-            # threshold sample (negligible) + keep-mask pass + the
-            # survivor partition sort of (rank, value, pos, payload) +
-            # the cap-sized finisher sort (negligible at bench shapes)
-            bytes_moved = 4 * n + psort.sort_traffic_bytes(n, 4)
+            # threshold sample (negligible) + mask build (4n read + n i8
+            # write) + KB=4 argmax/clear sweeps over the i8 mask (2n
+            # each) + the B*KB candidate sort (negligible) — the r5
+            # block-extraction form; no n-row sort at all
+            bytes_moved = 4 * n + n + 4 * 2 * n
         elif args.op == "distinct":
             # key-only sort + boundary passes (prev-compare, is_new and
             # end_rank cumsums, ends gathers)

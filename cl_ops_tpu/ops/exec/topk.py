@@ -10,17 +10,20 @@ passes, but LIMIT k with k << n only needs the k extreme rows. So:
 
   1. estimate a threshold t from a strided sample (the (safety*k/n)-th
      sample quantile) — one tiny sort;
-  2. ONE filter_compact pass keeps rows <= t (a stable partition through
-     the Pallas bitonic — 2 HBM sweeps, the dominant cost);
-  3. sort only the first `cap` survivor slots (a static buffer, one small
-     sort) and slice k.
+  2. BLOCK-LOCAL EXTRACTION: reshape into 1024-wide blocks and pull up
+     to 4 survivors (rows <= t) per block with argmax+clear sweeps — a
+     few elementwise passes over the mask, no n-row sort at all (r4
+     paid a full stable-partition sort here; r5 verdict item 4's
+     economics applied to top-k);
+  3. sort only the B*4 extracted candidates by (value, position) — one
+     small sort — and gather the k winners' payloads.
 
-The sampled threshold can miss (fewer than k survivors, or more than the
-static buffer holds — adversarial duplicates/skew); a lax.cond then routes
-to the exact full-sort branch, so the result is exact for EVERY input and
+The sampled threshold can miss (fewer than k survivors), a block can
+hold more than 4 survivors (adversarial clustering/duplicates), or k
+can be large enough that extraction could not hold the survivors; a
+lax.cond (or a static pre-check, for the k-too-big case) then routes to
+the exact full-sort branch, so the result is exact for EVERY input and
 the whole operator stays jittable: no host sync, unlike a retry loop.
-Survivor overshoot beyond `cap` only triggers the fallback, never a wrong
-answer: with count >= k every dropped row exceeds t >= the k-th value.
 """
 
 from __future__ import annotations
@@ -32,7 +35,6 @@ import jax.numpy as jnp
 
 from cl_ops_tpu.ops.exec import psort
 from cl_ops_tpu.ops.sort import keys as keymod
-from cl_ops_tpu.utils.bits import nlpo2
 
 
 def _sort_cols(cols, use_pallas, num_keys=None, pad_safe=False):
@@ -59,8 +61,8 @@ def top_k(values, k: int, *payload_cols, largest: bool = False,
       use_pallas: False uses lax.sort everywhere (vendor baseline).
       oversample: threshold-quantile safety factor; higher = fewer exact
         fallbacks, more survivors to small-sort.
-      cap: static survivor-buffer length (default next_pow2(4*oversample*k),
-        min 8192). count > cap routes to the exact fallback.
+      cap: unused since the r5 block-extraction rewrite (kept for API
+        compatibility; the per-block budget replaced the flat buffer).
       sample_size: strided threshold sample length.
 
     Returns:
@@ -101,33 +103,73 @@ def top_k(values, k: int, *payload_cols, largest: bool = False,
     j = min(m - 1, (m * k * oversample) // n + 1)
     t = ssorted[j]
 
-    if cap is None:
-        cap = max(nlpo2(4 * oversample * k), 8192)
-    cap = min(cap, n)
+    # --- block-local survivor extraction (NO n-row sort) -------------------
+    # r4 paid a full (rank, value, pos, payload) stable-partition sort
+    # here — sort_traffic_bytes(n, 3+) for k << n survivors. Instead:
+    # reshape into W-wide blocks and pull up to _KB survivors per block
+    # with argmax+clear sweeps (a few elementwise passes over the mask),
+    # then small-sort only the B*_KB candidates. Survivors are Poisson
+    # ~oversample*k/B per block, so _KB bounds them with huge margin on
+    # non-adversarial data; a block exceeding _KB (or a missed
+    # threshold) routes to the exact full-sort fallback, same contract
+    # as before — never a wrong answer.
+    W, KB = 1024, 4
+    if 2 * oversample * k * W >= KB * n:
+        # expected survivors per W-block approach the KB budget — the
+        # extraction would overflow and fall back anyway; go straight to
+        # the exact sort
+        out = _sort_cols((*kl, pos, *enc), use_pallas,
+                         num_keys=len(kl) + 1, pad_safe=True)
+        return take_k(out)
+    n2 = ((n + W - 1) // W) * W
+    limb2 = jnp.pad(limb, (0, n2 - n),
+                    constant_values=0x7FFFFFFF) if n2 != n else limb
+    B = n2 // W
+    x2 = limb2.reshape(B, W)
+    m2 = x2 <= t
+    # pad rows only survive when t == i32-max; count > everything then
+    # routes to the fallback anyway
+    cnt_b = m2.sum(axis=1, dtype=jnp.int32)
+    count = jnp.sum(cnt_b)
+    blk_ovf = jnp.any(cnt_b > KB)
 
-    # --- one partition pass: survivors (limb <= t) to the front ------------
-    keep = (limb <= t).astype(jnp.int32)
-    count = jnp.sum(keep)
-    if use_pallas and 2 * n < 2 ** 31:
-        rank = (psort.flag_pos_key(jnp.int32(1) - keep, n),)
-    else:
-        rank = (jnp.int32(1) - keep, pos)
-    packed = _sort_cols((*rank, limb, pos, *enc), use_pallas,
-                        num_keys=len(rank), pad_safe=True)[len(rank):]
+    blk_base = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) * W
+    idxw = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    mm = m2
+    cvals, cposs = [], []
+    for _ in range(KB):
+        first = jnp.argmax(mm, axis=1).astype(jnp.int32)[:, None]
+        has = jnp.take_along_axis(mm, first, axis=1)
+        val = jnp.take_along_axis(x2, first, axis=1)
+        gpos = blk_base + first
+        cvals.append(jnp.where(has, val, jnp.int32(0x7FFFFFFF))[:, 0])
+        cposs.append(jnp.where(has & (gpos < n), gpos,
+                               jnp.int32(n))[:, 0])
+        mm = mm & (idxw != first)
+    cval = jnp.concatenate(cvals)
+    cpos = jnp.concatenate(cposs)
 
-    ok = (count >= k) & (count <= cap)
+    ok = (count >= k) & jnp.logical_not(blk_ovf) & (t < 0x7FFFFFFF)
 
-    def fast(args):
-        pk = args[0]
-        return take_k(_sort_cols(tuple(c[:cap] for c in pk), use_pallas,
+    def fast(_):
+        # candidates sorted by (value, pos): ties break by input position,
+        # identical to the full sort's order; empties (i32-max, pos=n)
+        # sort last and cannot reach slot k while count >= k
+        sv, sp = _sort_cols((cval, cpos), use_pallas)
+        top_pos = jnp.minimum(sp[:k], n - 1)
+        vl = [sv[:k]]
+        if largest:
+            vl = [jnp.int32(-1) ^ c for c in vl]
+        out_vals = keymod.from_limbs(vl, values.dtype)
+        pays = psort.cols_from_i32([jnp.take(c, top_pos) for c in enc],
+                                   spec)
+        return (out_vals, *pays)
+
+    def exact(_):
+        return take_k(_sort_cols((limb, pos, *enc), use_pallas,
                                  num_keys=2, pad_safe=True))
 
-    def exact(args):
-        _, full = args
-        return take_k(_sort_cols(full, use_pallas, num_keys=2,
-                                 pad_safe=True))
-
-    return jax.lax.cond(ok, fast, exact, (packed, (limb, pos, *enc)))
+    return jax.lax.cond(ok, fast, exact, None)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "use_pallas"))
