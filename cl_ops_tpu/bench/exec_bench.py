@@ -55,6 +55,14 @@ def main(argv=None):
     import jax
     from cl_ops_tpu.utils.platform import honor_env_platform
     honor_env_platform()
+    try:  # persistent compile cache: tunneled Mosaic
+        # compiles are minutes; cache across runs
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

@@ -39,6 +39,14 @@ def main(argv=None):
     import jax
     from cl_ops_tpu.utils.platform import honor_env_platform
     honor_env_platform()
+    try:  # persistent compile cache: tunneled Mosaic
+        # compiles are minutes; cache across runs
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from cl_ops_tpu.bench import common
@@ -80,11 +88,14 @@ def main(argv=None):
         stage("gen (threefry x3 + mask)", lambda: gen(n))
 
         inv = jnp.int32(1) - mask.astype(jnp.int32)
+        # the pipeline's real sort: (inv, key) compared, (q, p) payload
         sort4 = jax.jit(lambda a, b, c, d:
-                        psort.sort_i32_cols((a, b, c, d)) if up else
-                        tuple(jax.lax.sort([a, b, c, d], num_keys=4)))
+                        psort.sort_i32_cols((a, b, c, d), num_keys=2,
+                                            pad_safe=True) if up else
+                        tuple(jax.lax.sort([a, b, c, d], num_keys=2)))
         out = jax.block_until_ready(sort4(inv, keys, qty, price))
-        stage("sort 4-col (inv,key,q,p)", sort4, (inv, keys, qty, price))
+        stage("sort 4-col (2 keys + 2 pay)", sort4,
+              (inv, keys, qty, price))
 
         _, skeys, sqty, sprice = out
         n_valid = jnp.sum(mask.astype(jnp.int32))
@@ -94,7 +105,7 @@ def main(argv=None):
         br = jax.jit(functools.partial(
             agg._boundary_reduce_cols, num_groups=g,
             aggs=("sum", "sum", "min", "max", "count", "mean"),
-            key_ordered=(True, False, True, False, True, False),
+            key_ordered=(False,) * 6,
             use_pallas=up))
         fb = lambda k, q, p, nv: br(k, (q, p, q, p, q, p),  # noqa: E731
                                     n_valid=nv)
@@ -117,19 +128,23 @@ def main(argv=None):
 
         cs1 = jax.jit(lambda x: jnp.cumsum(x.astype(jnp.int32)))
         jax.block_until_ready(cs1(is_new))
-        stage("  one i32 cumsum", cs1, (is_new,))
+        stage("  one jnp.cumsum (i32)", cs1, (is_new,))
+
+        csp = jax.jit(lambda x: agg._csum(x, True, jnp.int32))
+        jax.block_until_ready(csp(is_new))
+        stage("  one Pallas carry scan", csp, (is_new,))
 
         def ends_fn(isn, v):
             ones1 = jnp.ones((1,), jnp.bool_)
             nin = jnp.concatenate([isn[1:], ones1])
             niv = jnp.concatenate([jnp.logical_not(v)[1:], ones1])
             is_end = v & (nin | niv)
-            er = jnp.cumsum(is_end.astype(jnp.int32))
+            er = agg._csum(is_end, up, jnp.int32)
             gi = jax.lax.broadcasted_iota(jnp.int32, (g,), 0)
-            return jnp.searchsorted(er, gi + 1, side="left")
+            return agg._searchsorted_2level(er, gi + 1, n)
         ej = jax.jit(ends_fn)
         jax.block_until_ready(ej(is_new, valid))
-        stage("  ends (cumsum+searchsort)", ej, (is_new, valid))
+        stage("  ends (scan + 2level search)", ej, (is_new, valid))
 
         from cl_ops_tpu.ops.scan.segmented import segmented_scan_1d
         sm = jax.jit(lambda v, f: segmented_scan_1d(

@@ -138,10 +138,21 @@ def _make_bitonic_sorter(fused: bool):
                 arrs = list(limbs) + ([payload] if payload is not None
                                       else [])
                 n = arrs[0].shape[0]
-                arrs2d, _ = bk.pad_and_reshape(arrs, [_PAD] * len(arrs))
+                arrs2d, padded = bk.pad_and_reshape(arrs,
+                                                    [_PAD] * len(arrs))
+                # KV sorts: the payload column only MOVES (num_keys) —
+                # measurably cheaper on the VPU-bound kernels. Ties in
+                # the key limbs then come out in unspecified payload
+                # order (the old payload-tiebreak order was equally
+                # arbitrary, just deterministic). Padding keeps the
+                # total comparator: a real all-i32-max key row would
+                # tie the pad rows on the prefix alone.
+                nk = len(limbs) if (payload is not None and padded == n) \
+                    else None
                 out = bk.bitonic_sort_2d(arrs2d, block_rows=br, fused=fused,
                                          merge_rows=mr, interpret=interpret,
-                                         single_launch=single_launch)
+                                         single_launch=single_launch,
+                                         num_keys=nk)
                 flat = [a.reshape(-1)[:n] for a in out]
                 out_limbs = tuple(flat[:len(limbs)])
                 out_payload = (flat[len(limbs)] if payload is not None
