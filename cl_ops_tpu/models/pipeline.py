@@ -144,10 +144,14 @@ def q1_query(n: int, num_groups: int = 64, seed: int = 0,
              % jnp.uint32(10000)).astype(jnp.int32)
     mask = qty < jnp.int32(threshold)
     count = jnp.sum(mask.astype(jnp.int32))
+    # keys < num_groups by construction -> the WHERE mask packs into the
+    # key column (key_bits): a 3-column sort instead of 4
+    kb = max((num_groups - 1).bit_length(), 1)
     gk, tables, gcnt = agm.group_aggregate_cols(
         keys, (qty, price, qty, price, qty, price),
         ("sum", "sum", "min", "max", "count", "mean"),
-        num_groups=num_groups, valid_mask=mask, use_pallas=use_pallas)
+        num_groups=num_groups, valid_mask=mask, use_pallas=use_pallas,
+        key_bits=kb if kb <= 30 else None)
     return count, gk, tables, gcnt
 
 

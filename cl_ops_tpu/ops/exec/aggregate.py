@@ -229,7 +229,8 @@ def group_aggregate_sorted(keys, values, *, num_groups: int, agg: str = "sum",
 def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
                          n_valid=None, valid_mask=None,
                          use_pallas: bool = True,
-                         keys_sorted: bool = False):
+                         keys_sorted: bool = False,
+                         key_bits: int | None = None):
     """Multi-measure GROUP BY: one input sort, one boundary scan, one
     reduction per (column, agg) — the SELECT sum(a), min(b), count(*)
     shape (e.g. TPC-H Q1), where re-sorting the table per measure would
@@ -249,7 +250,13 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
     separate filter_compact partition at all (its row count is returned
     by count_where or jnp.sum of the mask). keys_sorted=True consumes
     pre-grouped rows (e.g. hash_join sorted_output + probe_cols) with no
-    input sort at all.
+    input sort at all. key_bits is the WHERE-fusion packing hint: a
+    CALLER CONTRACT that keys are non-negative integers < 2^key_bits
+    (<= 30); the validity bit then packs ABOVE the key in one i32
+    column instead of riding as its own sort column — one fewer column
+    of sort traffic on the flagship q1 shape. Like the num_groups
+    capacity, the contract is the caller's to honor (engines know
+    column bounds from stats); violating it gives undefined results.
 
     Returns (group_keys, tables, count): tables is a tuple aligned with
     `values`; the first `count` rows of each hold one aggregate per
@@ -263,6 +270,15 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
     if keys_sorted and (n_valid is not None or valid_mask is not None):
         raise ValueError("n_valid/valid_mask require the sorting path "
                          "(keys_sorted=False)")
+    if key_bits is not None:
+        kd = jnp.dtype(keys.dtype)
+        if not (0 < key_bits <= 30):
+            raise ValueError("key_bits must be in (0, 30]")
+        if kd.kind not in "iu" or kd.itemsize > 4:
+            raise ValueError("key_bits packing needs a 4-byte-or-"
+                             "narrower integer key column")
+        if keys_sorted or (n_valid is None and valid_mask is None):
+            key_bits = None  # nothing to pack without a validity bit
     if n_valid is not None and valid_mask is not None:
         raise ValueError("pass n_valid or valid_mask, not both")
     if keys.shape[0] == 0:
@@ -306,16 +322,17 @@ def group_aggregate_cols(keys, values, aggs, *, num_groups: int,
         keys, tuple(uniq), n_valid, valid_mask, num_groups=num_groups,
         aggs=tuple(aggs), key_ordered=key_ordered,
         slot_map=tuple(slot_map), first_in_prefix=first_in_prefix,
-        use_pallas=use_pallas)
+        key_bits=key_bits, use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "aggs",
                                              "key_ordered", "slot_map",
-                                             "first_in_prefix",
+                                             "first_in_prefix", "key_bits",
                                              "use_pallas"))
 def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
                                num_groups: int, aggs, key_ordered,
                                slot_map=None, first_in_prefix: bool = False,
+                               key_bits: int | None = None,
                                use_pallas: bool):
     # values holds the UNIQUE measure columns; slot_map (static) maps each
     # agg slot to its unique column, so the fused sort moves each column
@@ -330,20 +347,37 @@ def _group_aggregate_cols_sort(keys, values, n_valid, valid_mask, *,
         # land in a prefix of length sum(mask), same as n_valid below
         inv = jnp.int32(1) - valid_mask.astype(jnp.int32)
         n_valid = jnp.sum(valid_mask.astype(jnp.int32))
-        cols = (inv, *kl, *(c for vl in vls for c in vl))
         skip = 1
     elif n_valid is not None:
         inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
                >= n_valid).astype(jnp.int32)
-        cols = (inv, *kl, *(c for vl in vls for c in vl))
         skip = 1
     else:
-        cols = (*kl, *(c for vl in vls for c in vl))
+        inv = None
         skip = 0
-    nk = skip + len(kl) + (len(vls[0]) if first_in_prefix else 0)
-    out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else tuple(
-        jax.lax.sort(list(cols), num_keys=nk))
-    skeys = keymod.from_limbs(list(out[skip:skip + len(kl)]), keys.dtype)
+    if key_bits is not None and inv is not None:
+        # WHERE-fusion packing (caller contract: 0 <= key < 2^key_bits):
+        # the validity bit rides ABOVE the key in ONE i32 column — a
+        # non-negative i32 orders identically to (inv, key), and for the
+        # valid prefix (inv = 0) the packed value IS the key, so the
+        # boundary reduce consumes it directly. One fewer column of
+        # sort traffic than the separate-inv form below.
+        packed = ((inv << jnp.int32(key_bits))
+                  | keys.astype(jnp.int32))
+        cols = (packed, *(c for vl in vls for c in vl))
+        nk = 1 + (len(vls[0]) if first_in_prefix else 0)
+        out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else \
+            tuple(jax.lax.sort(list(cols), num_keys=nk))
+        skeys = out[0].astype(keys.dtype)
+        skip, kl = 1, ()  # measure columns start at out[1]
+    else:
+        cols = ((inv, *kl) if inv is not None else (*kl,)) \
+            + tuple(c for vl in vls for c in vl)
+        nk = skip + len(kl) + (len(vls[0]) if first_in_prefix else 0)
+        out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else \
+            tuple(jax.lax.sort(list(cols), num_keys=nk))
+        skeys = keymod.from_limbs(list(out[skip:skip + len(kl)]),
+                                  keys.dtype)
     suniq = []
     off = skip + len(kl)
     for v, vl in zip(values, vls):
