@@ -4,7 +4,7 @@
 # bit-exactness tests.
 
 PY ?= python
-CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 .PHONY: test test-fast bench bench-all oracle rng-battery docs install clean
 

@@ -400,6 +400,56 @@ def test_group_aggregate_cols_valid_mask(use_pallas):
 
 
 @pytest.mark.parametrize("use_pallas", [True, False])
+def test_group_aggregate_cols_key_bits(use_pallas):
+    """key_bits WHERE-fusion packing: the validity bit rides above the
+    key in one i32 sort column (caller contract: 0 <= key < 2^key_bits).
+    Must match the unpacked form exactly, including keys AT the contract
+    edge (2^key_bits - 1) and non-power-of-two row counts."""
+    rng = np.random.RandomState(91)
+    n = 5000
+    keys = rng.randint(0, 128, size=n).astype(np.uint32)
+    keys[:17] = 127  # contract-edge keys present and valid
+    qty = rng.randint(-500, 500, size=n).astype(np.int32)
+    price = rng.randint(0, 10000, size=n).astype(np.int32)
+    mask = qty < 300
+    args = (jnp.asarray(keys),
+            (jnp.asarray(qty), jnp.asarray(price), jnp.asarray(qty)),
+            ("sum", "max", "min"))
+    kw = dict(num_groups=256, valid_mask=jnp.asarray(mask),
+              use_pallas=use_pallas)
+    gk_p, t_p, c_p = ex.group_aggregate_cols(*args, key_bits=7, **kw)
+    gk_u, t_u, c_u = ex.group_aggregate_cols(*args, **kw)
+    assert int(c_p) == int(c_u)
+    cnt = int(c_p)
+    np.testing.assert_array_equal(np.asarray(gk_p)[:cnt],
+                                  np.asarray(gk_u)[:cnt])
+    for a, b in zip(t_p, t_u):
+        np.testing.assert_array_equal(np.asarray(a)[:cnt],
+                                      np.asarray(b)[:cnt])
+    # n_valid form too
+    nv = jnp.int32(3000)
+    g2p = ex.group_aggregate_cols(
+        jnp.asarray(keys), (jnp.asarray(qty),), ("sum",), num_groups=256,
+        n_valid=nv, key_bits=7, use_pallas=use_pallas)
+    g2u = ex.group_aggregate_cols(
+        jnp.asarray(keys), (jnp.asarray(qty),), ("sum",), num_groups=256,
+        n_valid=nv, use_pallas=use_pallas)
+    assert int(g2p[2]) == int(g2u[2])
+    np.testing.assert_array_equal(np.asarray(g2p[1][0])[:int(g2p[2])],
+                                  np.asarray(g2u[1][0])[:int(g2u[2])])
+    # bad hints are rejected loudly
+    with pytest.raises(ValueError, match="key_bits"):
+        ex.group_aggregate_cols(
+            jnp.asarray(keys), (jnp.asarray(qty),), ("sum",),
+            num_groups=256, valid_mask=jnp.asarray(mask), key_bits=31)
+    with pytest.raises(ValueError, match="integer key"):
+        ex.group_aggregate_cols(
+            jnp.asarray(keys).astype(jnp.float32), (jnp.asarray(qty),),
+            ("sum",), num_groups=256, valid_mask=jnp.asarray(mask),
+            key_bits=7)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
 def test_group_aggregate_dense_cols(use_pallas):
     """Sort-free dense small-G aggregate: bit parity with the sorted path
     on every agg (wrapping i32 sums, u32 order, f32 min/max, masked rows,
