@@ -92,7 +92,10 @@ def test_bench_all_smoke(capsys, tmp_path, monkeypatch):
                        "aggregate_256M_1Mgroups", "join_probe_16Mx1M",
                        "join_probe_16Mx1M_sorted",
                        "join_probe_16Mx1M_deferred", "join_expand_16Mx4",
-                       "rollup_16Mx1M", "q1_16Mx64K"}
+                       "rollup_16Mx1M", "q1_16Mx64K",
+                       "window_16Mx64K", "window_16Mx64K_sorted",
+                       "topk_1K_of_64M", "distinct_64M_1M",
+                       "join_probe_256Mx16M"}
     # scaled smoke runs must NOT touch the real measurement file
     assert not (tmp_path / "BENCH_ALL.json").exists()
 
