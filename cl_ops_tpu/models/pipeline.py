@@ -69,9 +69,11 @@ def analytics_query(n: int, num_groups: int = 1024, seed: int = 0,
         values, lambda v: v < jnp.uint32(threshold), keys,
         use_pallas=use_pallas)
     gids = (fkeys % jnp.uint32(num_groups)).astype(jnp.int32)
+    kb = max((num_groups - 1).bit_length(), 1)  # gids < num_groups
     gk, tbl, gcnt = agg.group_aggregate_prefix(
         gids, fvals.astype(jnp.uint32), count, num_groups=num_groups,
-        agg="sum", use_pallas=use_pallas)
+        agg="sum", key_bits=kb if kb <= 30 else None,
+        use_pallas=use_pallas)
     # re-index by group id (a num_groups-sized scatter, not an n-sized one)
     slot = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
     gk = jnp.where(slot < gcnt, gk, jnp.int32(num_groups))
@@ -105,9 +107,11 @@ def star_query(n: int, dim_rows: int = 1 << 14, num_cats: int = 256,
     _, cats = jn.hash_join(dim_keys, dim_cat, fkeys, build_sorted=True,
                            use_pallas=use_pallas,
                            probe_impl="direct" if use_pallas else "merge")
+    kb = max((num_cats - 1).bit_length(), 1)  # cats < num_cats
     gk, tbl, gcnt = agg.group_aggregate_prefix(
         cats, fvals.astype(jnp.uint32), count, num_groups=num_cats,
-        agg="sum", use_pallas=use_pallas)
+        agg="sum", key_bits=kb if kb <= 30 else None,
+        use_pallas=use_pallas)
     slot = jax.lax.broadcasted_iota(jnp.int32, (num_cats,), 0)
     gk = jnp.where(slot < gcnt, gk, jnp.int32(num_cats))
     table = jnp.zeros((num_cats,), tbl.dtype).at[gk].set(tbl, mode="drop")

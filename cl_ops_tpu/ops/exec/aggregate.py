@@ -158,9 +158,10 @@ def _sorted_aggregate_pallas(keys, values, *, num_groups: int, agg: str,
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "agg",
-                                             "use_pallas"))
+                                             "key_bits", "use_pallas"))
 def group_aggregate_prefix(keys, values, n_valid, *, num_groups: int,
-                           agg: str = "sum", use_pallas: bool = True):
+                           agg: str = "sum", key_bits: int | None = None,
+                           use_pallas: bool = True):
     """Aggregate only the first n_valid rows — the filter_compact composer.
 
     filter_compact returns (count, packed...) with kept rows contiguous at
@@ -168,14 +169,35 @@ def group_aggregate_prefix(keys, values, n_valid, *, num_groups: int,
     dynamic shape: rows sort by (validity, key, value) so the valid prefix
     is key-sorted and _boundary_reduce's n_valid machinery ignores the
     tail. The canonical filter -> GROUP BY pipeline (BASELINE configs 3+4).
+    key_bits: the packing hint of group_aggregate_cols — a caller
+    contract that keys are non-negative ints < 2^key_bits (<= 30); the
+    validity bit then packs above the key in one sort column.
     """
     n = keys.shape[0]
     kl = keymod.to_limbs(keys)
     vl = keymod.to_limbs(values)
     inv = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
            >= n_valid).astype(jnp.int32)
-    cols = (inv, *kl, *vl)
     need_order = agg in ("min", "max") and not _seg_ok(values.dtype)
+    if key_bits is not None:
+        kd = jnp.dtype(keys.dtype)
+        if not (0 < key_bits <= 30):
+            raise ValueError("key_bits must be in (0, 30]")
+        if kd.kind not in "iu" or kd.itemsize > 4:
+            raise ValueError("key_bits packing needs a 4-byte-or-"
+                             "narrower integer key column")
+        packed = (inv << jnp.int32(key_bits)) | keys.astype(jnp.int32)
+        cols = (packed, *vl)
+        nk = 1 + (len(vl) if need_order else 0)
+        out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else \
+            tuple(jax.lax.sort(list(cols), num_keys=nk))
+        skeys = out[0].astype(keys.dtype)
+        svals = keymod.from_limbs(list(out[1:]), values.dtype)
+        return _boundary_reduce(skeys, svals, num_groups=num_groups,
+                                agg=agg, n_valid=n_valid,
+                                vals_in_key_order=need_order,
+                                use_pallas=use_pallas)
+    cols = (inv, *kl, *vl)
     nk = 1 + len(kl) + (len(vl) if need_order else 0)
     out = psort.sort_i32_cols(cols, num_keys=nk) if use_pallas else tuple(
         jax.lax.sort(list(cols), num_keys=nk))
