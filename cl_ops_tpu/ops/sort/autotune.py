@@ -70,7 +70,11 @@ def candidate_geometries(rows: int, n_arrays: int) -> list[tuple[int, int]]:
     for br in (256, 512):
         if br > rows:
             continue
-        for mult in (4, 8, 16, 32):
+        for mult in (4, 8, 16):
+            # mult capped at 16 (r5): the 32x fat merges ((256, 8192))
+            # hung the server-side Mosaic compile on every shape swept
+            # and never won where they did compile; each hang burns a
+            # full sweep-restart cycle.
             if br == 512 and mult > 8:
                 # 512-row blocks fully unroll a 64K-element sort; stacking
                 # 16x+ merges on top blows up the Mosaic compile (observed
