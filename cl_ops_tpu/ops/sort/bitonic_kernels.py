@@ -94,29 +94,6 @@ def _lex_lt(a: tuple, b: tuple, num_keys: int | None = None):
     return _lex_cmp(a, b, num_keys)[0]
 
 
-def _partner(arrs: tuple, j):
-    """Fetch each element's XOR-partner at distance j.
-
-    j < LANES pairs lanes: one tpu.dynamic_gather along the lane dim.
-    j >= LANES pairs rows: Mosaic's sublane gather can't cross vregs
-    ("Multiple source vregs along gather dimension"), so the XOR pairing is
-    two rotates + select — rows with the j-bit unset take the +j roll,
-    rows with it set take the -j roll (r ^ j == r + j or r - j by that bit).
-    """
-    j_val, is_row = j
-    shape = arrs[0].shape
-    if is_row:
-        bit = _flat_bit(shape, j_val, True)
-        out = []
-        for a in arrs:
-            down = pltpu.roll(a, jnp.int32(-j_val % shape[0]), 0)  # x[r+j]
-            up = pltpu.roll(a, jnp.int32(j_val), 0)                # x[r-j]
-            out.append(jnp.where(bit, up, down))
-        return tuple(out)
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) ^ j_val
-    return tuple(_gather_lanes(a, idx) for a in arrs)
-
-
 def _flat_bit(shape, k_val, is_row_bit):
     """Boolean mask of bit (i & K) != 0 over flattened index i = r*128 + c."""
     if is_row_bit:
@@ -124,26 +101,6 @@ def _flat_bit(shape, k_val, is_row_bit):
         return (rows & k_val) != 0
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return (cols & k_val) != 0
-
-
-def _cx(arrs: tuple, asc_mask, j, num_keys=None):
-    """One compare-exchange step at distance j under direction mask.
-
-    asc_mask: True where the enclosing bitonic block sorts ascending.
-    Element keeps the min iff it is the lower partner in an ascending block
-    (or the higher partner in a descending one).
-    """
-    j_val, is_row = j
-    p = _partner(arrs, j)
-    i_low = jnp.logical_not(
-        _flat_bit(arrs[0].shape, j_val, is_row))
-    keep_min = i_low == asc_mask
-    lt, le = _lex_cmp(arrs, p, num_keys)
-    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
-    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
-    # vectors ("Unsupported target bitwidth for truncation").
-    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
-    return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
 def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows, num_keys=None):
