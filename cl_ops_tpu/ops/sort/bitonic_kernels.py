@@ -94,6 +94,24 @@ def _lex_lt(a: tuple, b: tuple, num_keys: int | None = None):
     return _lex_cmp(a, b, num_keys)[0]
 
 
+def _take_self(arrs: tuple, p: tuple, keep_min, num_keys):
+    """Exchange keep-self mask for the XOR-partner forms.
+
+    With a TOTAL comparator (num_keys None or covering every column) the
+    cheap strict form suffices: ties imply fully identical rows, whose
+    duplication is value-invisible. With a payload prefix the (lt, le)
+    keep-self pair is REQUIRED (see _lex_cmp) and costs two extra vector
+    ops per exchange — only pay them when payload columns exist (a
+    measured ~10%% regression on the total-comparator sorts otherwise).
+    Boolean algebra, not jnp.where: Mosaic rejects select_n on i1
+    vectors ("Unsupported target bitwidth for truncation").
+    """
+    if num_keys is None or num_keys >= len(arrs):
+        return keep_min == _lex_lt(arrs, p)
+    lt, le = _lex_cmp(arrs, p, num_keys)
+    return (keep_min & le) | jnp.logical_not(keep_min | lt)
+
+
 def _flat_bit(shape, k_val, is_row_bit):
     """Boolean mask of bit (i & K) != 0 over flattened index i = r*128 + c."""
     if is_row_bit:
@@ -115,11 +133,7 @@ def _cx_rows_dyn(arrs: tuple, asc_mask, j_rows, num_keys=None):
         p.append(jnp.where(bit, up, down))
     p = tuple(p)
     keep_min = jnp.logical_not(bit) == asc_mask
-    lt, le = _lex_cmp(arrs, p, num_keys)
-    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
-    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
-    # vectors ("Unsupported target bitwidth for truncation").
-    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
+    take_self = _take_self(arrs, p, keep_min, num_keys)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
@@ -130,11 +144,7 @@ def _cx_lanes_dyn(arrs: tuple, asc_mask, j, num_keys=None):
     idx = lane_iota ^ j
     p = tuple(_gather_lanes(a, idx) for a in arrs)
     keep_min = ((lane_iota & j) == 0) == asc_mask
-    lt, le = _lex_cmp(arrs, p, num_keys)
-    # (keep_min & le) | (!keep_min & !lt): keep-self on prefix ties.
-    # Boolean algebra, not jnp.where — Mosaic rejects select_n on i1
-    # vectors ("Unsupported target bitwidth for truncation").
-    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
+    take_self = _take_self(arrs, p, keep_min, num_keys)
     return tuple(jnp.where(take_self, a, pp) for a, pp in zip(arrs, p))
 
 
@@ -300,8 +310,7 @@ def _cross_kernel(params_ref, *refs, n_arrays: int, num_keys=None):
     keep_min = is_lo == asc
     s = tuple(r[...] for r in self_ins)
     p = tuple(r[...] for r in part_ins)
-    lt, le = _lex_cmp(s, p, num_keys)
-    take_self = (keep_min & le) | jnp.logical_not(keep_min | lt)
+    take_self = _take_self(s, p, keep_min, num_keys)
     for o, a, pp in zip(outs, s, p):
         o[...] = jnp.where(take_self, a, pp)
 
