@@ -472,18 +472,32 @@ def _boundary_reduce_cols(skeys, svals, *, num_groups: int, aggs,
     next_is_new = jnp.concatenate([is_new[1:], ones1])
     next_invalid = jnp.concatenate([jnp.logical_not(valid)[1:], ones1])
     is_end = valid & (next_is_new | next_invalid)
-    # End position of group g = position of the (g+1)-th end flag. The
-    # running end count is nondecreasing, so a binary search finds it:
-    # O(num_groups * log n) vectorized gathers instead of the n-row
-    # stable-partition sort this used to pay (one full psort pass saved
-    # per boundary reduce). TWO-LEVEL form: a flat searchsorted over 16M
-    # rows measured ~12 ms on v5e (bench/pipeline_probe.py r5) — TPU
-    # random gathers from HBM dominate, so first search a 4096:1
-    # DECIMATED haystack (fits VMEM/cache), then 12 bounded binary-search
-    # steps inside the one block each group's end lands in.
-    end_rank = _csum(is_end, use_pallas, jnp.int32)
+    # End position of group g = position of the (g+1)-th end flag. TWO
+    # forms, picked by GROUP DENSITY:
+    #   * sparse groups (num_groups << n): binary search over the
+    #     running end count — O(num_groups * log n) gathers. TPU random
+    #     gathers from HBM dominate, so the search is two-level: a
+    #     4096:1 decimated haystack (VMEM/cache-resident) then bounded
+    #     in-block steps. ~8 ms at 16M x 64K on v5e vs ~19 for the sort.
+    #   * dense groups (num_groups ~ n, e.g. the rollup's per-key
+    #     aggregate at n/8 distinct keys): the gather bill scales with
+    #     num_groups and LOSES to one n-row single-column stable
+    #     partition of the end positions (`(!is_end)*n + pos` through
+    #     the flagship bitonic — the form r4 briefly removed; restoring
+    #     it conditionally fixed a 3x rollup regression the r5 battery
+    #     caught: searchsorted ends at 2M groups measured ~0.25 s).
     gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups,), 0)
-    ends_all = _searchsorted_2level(end_rank, gi + 1, n)
+    dense_groups = num_groups * 64 >= n and 2 * n < 2 ** 31
+    if dense_groups:
+        comb = psort.flag_pos_key(
+            jnp.int32(1) - is_end.astype(jnp.int32), n)
+        spos_ends = (psort.sort_i32_cols((comb,))[0] if use_pallas
+                     else jax.lax.sort([comb], num_keys=1)[0])
+        take_g = jnp.minimum(gi, n - 1)
+        ends_all = jnp.take(spos_ends, take_g)  # = g-th end position
+    else:
+        end_rank = _csum(is_end, use_pallas, jnp.int32)
+        ends_all = _searchsorted_2level(end_rank, gi + 1, n)
     valid_g = gi < count
     ends = jnp.where(valid_g, jnp.minimum(ends_all, n - 1), n - 1)
     group_keys = jnp.take(skeys, ends)
